@@ -1,0 +1,72 @@
+"""Thin spark-submit entrypoint for the extraction pipeline.
+
+Usage:
+    spark-submit --py-files <(zip of ocr_toolkit_spark) job.py \
+        --input /path/documents.parquet --output /path/out \
+        --lineage /path/lineage --run-id run-001 [--no-images] \
+        [--buckets 64] [--salt-threshold 500]
+
+Distributed replacement for the reference `ocr-convert` CLI
+(/root/reference/ocr_toolkit/cli/convert.py). Prints the per-method summary
+(the analog of the reference's ProcessingStats report, stats.py:28-85) and a
+one-line JSON result.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import uuid
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description="ocr_toolkit_spark extraction job")
+    p.add_argument("--input", required=True, help="documents parquet path")
+    p.add_argument("--output", required=True, help="extracted output path")
+    p.add_argument("--lineage", required=True, help="lineage table path")
+    p.add_argument("--run-id", default=None)
+    p.add_argument("--no-images", action="store_true", help="strip image spans")
+    p.add_argument("--buckets", type=int, default=64)
+    p.add_argument("--salt-threshold", type=int, default=500)
+    p.add_argument("--master", default=None)
+    args = p.parse_args(argv)
+
+    from ocr_toolkit_spark.pipeline import extraction_stats, run_extraction
+    from ocr_toolkit_spark.session import get_spark
+    from ocr_toolkit_spark import io as tio
+
+    spark = get_spark(app_name="ocr-extract", master=args.master)
+    run_id = args.run_id or f"run-{uuid.uuid4().hex[:8]}"
+    stats = run_extraction(
+        spark,
+        input_path=args.input,
+        output_path=args.output,
+        lineage_path=args.lineage,
+        run_id=run_id,
+        with_images=not args.no_images,
+        n_buckets=args.buckets,
+        salt_threshold=args.salt_threshold,
+    )
+    result = tio.read_extracted(spark, args.output)
+    summary = extraction_stats(result)
+    summary.show(truncate=False)
+    n_docs = result.count()
+    n_failed = result.filter(~result.success).count()
+    print(
+        json.dumps(
+            {
+                "run_id": run_id,
+                "partitions_processed": stats.partitions_processed,
+                "partitions_skipped": stats.partitions_skipped,
+                "docs": n_docs,
+                "failed_docs": n_failed,
+            }
+        )
+    )
+    spark.stop()
+    return 1 if n_docs == 0 else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,44 @@
+"""Vectorized spreadsheet cell formatting — docs/SPANS.md §3.5.
+
+Exact rule set of the reference cell formatter
+(/root/reference/ocr_toolkit/processors/excel_processor.py:206-242), applied
+as masked NumPy/pandas operations over ALL cells of a batch at once instead of
+per-cell Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+_ISO_DT = r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}$"
+_INT = r"^[+-]?\d+$"
+_FLOAT = r"^[+-]?(\d+\.\d*|\.\d+|\d+\.)([eE][+-]?\d+)?$|^[+-]?\d+[eE][+-]?\d+$"
+
+
+def format_cells(cells: pd.Series) -> pd.Series:
+    """Format a Series of raw cell strings per the reference rules."""
+    s = cells.fillna("").astype(str)
+    out = s.copy()
+
+    empty = s.eq("")
+    is_dt = ~empty & s.str.match(_ISO_DT)
+    is_int = ~empty & ~is_dt & s.str.match(_INT)
+    is_float = ~empty & ~is_dt & ~is_int & s.str.match(_FLOAT)
+    is_str = ~empty & ~is_dt & ~is_int & ~is_float
+
+    if is_dt.any():
+        out[is_dt] = s[is_dt].str.replace("T", " ", regex=False)
+    # int literals render unchanged (str(int(x)) round-trips)
+    if is_float.any():
+        f = s[is_float].astype(float)
+        whole = f == np.trunc(f)
+        rendered = f.map("{:.2f}".format)
+        rendered[whole] = np.trunc(f[whole]).astype(np.int64).astype(str)
+        out[is_float] = rendered
+    if is_str.any():
+        t = s[is_str].str.replace("|", "\\|", regex=False)
+        long = t.str.len() > 100
+        t[long] = t[long].str.slice(0, 97) + "..."
+        out[is_str] = t
+    return out

@@ -1,0 +1,93 @@
+"""Explicit schemas — declared once, enforced on read and on UDF return types.
+
+The reference hard-codes its format taxonomy at import time
+(``/root/reference/ocr_toolkit/config.py:51-70``); analogously we never rely on
+schema-on-read inference (SURVEY.md §1 "Schema system").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# Input: documents(doc_id, spans) — matches BASELINE.json.input_hint exactly.
+# ---------------------------------------------------------------------------
+
+SPAN_STRUCT = T.StructType(
+    [
+        T.StructField("kind", T.StringType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("media_ref", T.StringType(), True),
+        T.StructField("offset", T.IntegerType(), True),
+    ]
+)
+
+DOCUMENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("spans", T.ArrayType(SPAN_STRUCT), True),
+    ]
+)
+
+# Input span kinds the engine understands (docs/SPANS.md §0). Anything else is
+# skipped; docs with ONLY unknown kinds become error rows.
+KNOWN_INPUT_KINDS = frozenset(
+    {"text", "heading", "html", "image", "table_row", "page_break", "bytes"}
+)
+
+# ---------------------------------------------------------------------------
+# Output: extracted(...) — docs/SPANS.md §2. `elapsed_ms` is metrics-only and
+# excluded from span-sequence equality checks (non-deterministic).
+# ---------------------------------------------------------------------------
+
+OUT_SPAN_STRUCT = T.StructType(
+    [
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("text", T.StringType(), False),
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("order", T.IntegerType(), False),
+    ]
+)
+
+EXTRACTED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("out_spans", T.ArrayType(OUT_SPAN_STRUCT), False),
+        T.StructField("success", T.BooleanType(), False),
+        T.StructField("error", T.StringType(), False),
+        T.StructField("method", T.StringType(), False),
+        T.StructField("n_spans", T.IntegerType(), False),
+        T.StructField("n_chars", T.LongType(), False),
+        T.StructField("elapsed_ms", T.DoubleType(), False),
+    ]
+)
+
+OUTPUT_KINDS = frozenset({"heading", "text", "table", "image"})
+
+# ---------------------------------------------------------------------------
+# Lineage: per-partition commit records for idempotent resume (north_rule;
+# the reference has NO checkpointing — SURVEY.md §2.5 E5).
+# ---------------------------------------------------------------------------
+
+LINEAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("run_id", T.StringType(), False),
+        T.StructField("partition_id", T.IntegerType(), False),
+        T.StructField("doc_count", T.LongType(), False),
+        T.StructField("span_count", T.LongType(), False),
+        T.StructField("byte_count", T.LongType(), False),
+        T.StructField("failure_count", T.LongType(), False),
+        T.StructField("committed_at", T.TimestampType(), False),
+    ]
+)
+
+# Flat golden-output shape used by tests (FIXTURES.md §2).
+EXPECTED_SPANS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("order", T.IntegerType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("text", T.StringType(), False),
+        T.StructField("media_ref", T.StringType(), False),
+    ]
+)

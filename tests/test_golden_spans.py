@@ -1,0 +1,85 @@
+"""Golden span-sequence equality: the vectorized engine vs the pure-Python
+oracle on the deterministic fixture corpus — `(kind, text, media_ref, order)`
+per document plus success/error/method/n_spans/n_chars (SURVEY.md §5)."""
+
+import pytest
+
+from ocr_toolkit_spark import oracle
+from ocr_toolkit_spark.fixtures import generate_documents, to_arrow
+from ocr_toolkit_spark.operators.extract import _process_batch
+
+
+def _compare(docs, result_rows, with_images):
+    gold = {r.doc_id: r for r in oracle.extract_corpus(docs, with_images)}
+    mismatches = []
+    for row in result_rows:
+        g = gold[row["doc_id"]]
+        eng = [(s["kind"], s["text"], s["media_ref"], s["order"])
+               for s in row["out_spans"]]
+        exp = [(s.kind, s.text, s.media_ref, s.order) for s in g.out_spans]
+        if (eng != exp or row["success"] != g.success or row["error"] != g.error
+                or row["method"] != g.method or row["n_spans"] != g.n_spans
+                or row["n_chars"] != g.n_chars):
+            mismatches.append(row["doc_id"])
+    assert not mismatches, f"{len(mismatches)} docs mismatch: {mismatches[:5]}"
+    assert len(result_rows) == len(docs)
+
+
+@pytest.mark.parametrize("with_images", [True, False])
+@pytest.mark.parametrize("seed", [42, 7])
+def test_batch_kernel_equals_oracle(seed, with_images):
+    docs = generate_documents(250, seed)
+    batch = to_arrow(docs).combine_chunks().to_batches()[0]
+    out = _process_batch(batch, with_images).to_pylist()
+    _compare(docs, out, with_images)
+
+
+def test_order_stable_under_batch_splits():
+    """`order` must derive from data, not batch boundaries (SPANS.md §5)."""
+    docs = generate_documents(120, 11)
+    table = to_arrow(docs)
+    whole = [r for b in [table.combine_chunks().to_batches()[0]]
+             for r in _process_batch(b, True).to_pylist()]
+    split = []
+    for i in range(0, 120, 7):  # uneven small batches
+        sl = table.slice(i, 7).combine_chunks()
+        for b in sl.to_batches():
+            split.extend(_process_batch(b, True).to_pylist())
+    assert {r["doc_id"]: r["out_spans"] for r in whole} == {
+        r["doc_id"]: r["out_spans"] for r in split}
+
+
+def test_spark_end_to_end_equals_oracle(spark, corpus_docs, tmpdir_path):
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ocr_toolkit_spark.operators.extract import extract_spans
+
+    path = os.path.join(tmpdir_path, "docs.parquet")
+    pq.write_table(to_arrow(corpus_docs), path)
+    df = spark.read.parquet(path)
+    rows = [r.asDict(recursive=True) for r in extract_spans(df).collect()]
+    _compare(corpus_docs, rows, True)
+
+
+def test_failure_containment(spark):
+    """Hostile docs yield error rows, never task failures
+    (ocr_processor_wrapper.py:135-149)."""
+    from ocr_toolkit_spark.fixtures import to_arrow as ta
+    from ocr_toolkit_spark.operators.extract import _process_batch as pb
+
+    hostile = [
+        ("h0", None),
+        ("h1", []),
+        ("h2", [{"kind": "??", "text": "x", "media_ref": "", "offset": 0}]),
+        ("h3", [{"kind": "bytes", "text": "zz-not-hex", "media_ref": "", "offset": 0}]),
+        ("h4", [{"kind": "text", "text": None, "media_ref": None, "offset": None}]),
+    ]
+    out = pb(ta(hostile).combine_chunks().to_batches()[0], True).to_pylist()
+    by_id = {r["doc_id"]: r for r in out}
+    assert not by_id["h0"]["success"] and by_id["h0"]["error"] == "empty document: no spans"
+    assert not by_id["h1"]["success"]
+    assert by_id["h2"]["error"] == "unsupported content: no known span kinds"
+    assert not by_id["h3"]["success"] and "decode error" in by_id["h3"]["error"]
+    assert by_id["h4"]["success"]  # null text → '' → heading-only doc

@@ -1,0 +1,65 @@
+"""Resume/idempotency: kill after partition k, re-run, no dupes, full
+coverage via lineage (north_rule; absent from the reference — SURVEY.md §2.5 E5)."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from ocr_toolkit_spark import io as tio
+from ocr_toolkit_spark.fixtures import write_corpus
+from ocr_toolkit_spark.pipeline import run_extraction, with_partition_id
+
+
+def test_resume_after_partial_commit(spark, tmpdir_path):
+    corpus = os.path.join(tmpdir_path, "docs.parquet")
+    out = os.path.join(tmpdir_path, "out")
+    lineage = os.path.join(tmpdir_path, "lineage")
+    write_corpus(corpus, n_docs=200, seed=42)
+
+    # simulate a killed run: process only partitions 0..15, commit their lineage
+    docs = with_partition_id(tio.read_documents(spark, corpus), 64)
+    partial = docs.filter(F.col("partition_id") < 16)
+    from ocr_toolkit_spark.operators.extract import extract_spans
+
+    partial_out = with_partition_id(extract_spans(partial.select("doc_id", "spans")), 64)
+    tio.write_extracted(partial_out, out)
+    lin = (
+        partial_out.groupBy("partition_id")
+        .agg(F.count("*").alias("doc_count"),
+             F.sum("n_spans").cast("long").alias("span_count"),
+             F.sum("n_chars").cast("long").alias("byte_count"),
+             F.lit(0).cast("long").alias("failure_count"))
+        .withColumn("run_id", F.lit("killed-run"))
+        .withColumn("committed_at", F.current_timestamp())
+        .select("run_id", "partition_id", "doc_count", "span_count",
+                "byte_count", "failure_count", "committed_at")
+    )
+    tio.append_lineage(lin, lineage)
+    committed_before = lin.count()
+
+    # resume run: must process only the remaining partitions
+    stats = run_extraction(spark, corpus, out, lineage, run_id="resume-run")
+    assert stats.partitions_skipped == committed_before
+    assert stats.partitions_processed > 0
+
+    result = tio.read_extracted(spark, out)
+    n_docs_in = tio.read_documents(spark, corpus).count()
+    assert result.count() == n_docs_in  # full coverage
+    assert result.select("doc_id").distinct().count() == n_docs_in  # no dupes
+
+    # second resume: everything committed → nothing to do, output unchanged
+    stats2 = run_extraction(spark, corpus, out, lineage, run_id="noop-run")
+    assert stats2.partitions_processed == 0
+    assert result.count() == n_docs_in
+
+
+def test_salting_splits_oversized(spark, tmpdir_path):
+    from ocr_toolkit_spark.pipeline import salt_oversized
+
+    corpus = os.path.join(tmpdir_path, "docs.parquet")
+    write_corpus(corpus, n_docs=300, seed=42)  # includes the skew slice
+    docs = salt_oversized(tio.read_documents(spark, corpus), threshold=500, k=8)
+    big = docs.filter(F.size("spans") > 500)
+    assert big.count() > 0, "fixture must contain oversized docs"
+    assert docs.filter(F.size("spans") <= 500).select("salt").distinct().collect() == [
+        spark.createDataFrame([(0,)], "salt int").collect()[0]]
