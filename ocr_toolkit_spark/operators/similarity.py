@@ -1,0 +1,155 @@
+"""Similarity search over an embedding column (`array<float>`).
+
+- Brute-force cosine top-k: exact baseline. The dot product stays JVM-side
+  (`zip_with` + `aggregate` on double-cast arrays — whole-stage codegen),
+  queries are broadcast, ranking is a per-query window. Cost: |Q| × N rows
+  scanned, no all-pairs shuffle when Q is small (broadcast join).
+- LSH (random hyperplane / SRP) bucketed variant: the 100-TB path. A
+  deterministic seed-fixed projection matrix maps each vector to a b-bit
+  bucket via one Arrow-batched pandas UDF (matrix multiply over the whole
+  batch); candidates come from equi-joins on bucket id (optionally with
+  multi-probe neighbor buckets), then exact cosine re-ranking on the
+  candidate set only.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    ad = a.cast("array<double>")
+    bd = b.cast("array<double>")
+    return _dot(ad, bd) / (_norm(ad) * _norm(bd))
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k per query. `queries` is small → broadcast."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v_vec")
+    )
+    scored = (
+        v.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", F.round(cosine(F.col("q_vec"), F.col("v_vec")), 6))
+        .select("query_id", "neighbor_id", "sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
+def make_srp_bucketer(dim: int, n_bits: int = 12, seed: int = 42):
+    """Signed-random-projection bucket id UDF: bucket = sign bits of R·v.
+    R is deterministic (seeded) and identical on every executor."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_bits)).astype(np.float64)
+    weights = (1 << np.arange(n_bits, dtype=np.int64))
+
+    @pandas_udf(T.LongType())
+    def srp_bucket(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series(np.empty(0, dtype=np.int64))
+        m = np.stack(vecs.to_numpy())  # (batch, dim) — one matmul per batch
+        bits = (m.astype(np.float64) @ planes) > 0
+        return pd.Series((bits * weights).sum(axis=1).astype(np.int64))
+
+    return srp_bucket
+
+
+def lsh_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_bits: int = 12,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's SRP bucket, exact
+    cosine re-rank inside buckets. Recall grows with fewer bits / multi-probe;
+    cost per query drops from N to ~N/2^n_bits."""
+    bucketer = make_srp_bucketer(dim, n_bits, seed)
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("v_vec"),
+        bucketer(F.col(vec_col)).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        bucketer(F.col(vec_col)).alias("bucket"),
+    )
+    scored = (
+        v.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", F.round(cosine(F.col("q_vec"), F.col("v_vec")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
+def embedding_near_dups(
+    vectors: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    n_bits: int = 10,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via SRP bucket self-join +
+    exact verification (the embedding analog of MinHash-LSH dedup)."""
+    bucketer = make_srp_bucketer(dim, n_bits, seed)
+    v = vectors.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        bucketer(F.col(vec_col)).alias("bucket"),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
+        .withColumn("sim", cosine(F.col("a.vec"), F.col("b.vec")))
+        .filter(F.col("sim") >= threshold)
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), F.col("sim")
+        )
+    )

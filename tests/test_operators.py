@@ -1,0 +1,173 @@
+"""Unit tests for the training-data pipeline operators: dedup families,
+similarity search, text stats (full quality formula vs oracle), multimodal
+plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog again and again"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy dog again and again!"),  # near dup
+        (4, "completely different content about spark arrow batches and shuffles"),
+        (5, "The  Quick  Brown Fox jumps over the lazy dog again and again"),  # norm dup
+        (6, "unrelated text regarding lineage snapshots and resume protocols"),
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+class TestDedup:
+    def test_exact(self, spark, dup_docs):
+        from ocr_toolkit_spark.operators.dedup import exact_dedup_stats
+
+        r = exact_dedup_stats(dup_docs).collect()[0]
+        assert r.total_docs == 6 and r.distinct_texts == 5 and r.duplicate_docs == 1
+
+    def test_keep_first(self, spark, dup_docs):
+        from ocr_toolkit_spark.operators.dedup import exact_dedup_keep_first
+
+        kept = {r.doc_id for r in exact_dedup_keep_first(dup_docs).collect()}
+        assert 1 in kept and 2 not in kept and len(kept) == 5
+
+    def test_normalized(self, spark, dup_docs):
+        from ocr_toolkit_spark.operators.dedup import normalize_text
+
+        groups = (
+            dup_docs.groupBy(normalize_text(F.col("text")).alias("n"))
+            .count().filter("count > 1").collect()
+        )
+        # docs 1,2,3,5 normalize to the same string ('!' stripped, case/ws folded)
+        assert len(groups) == 1 and groups[0]["count"] == 4
+
+    def test_minhash_lsh_finds_near_dups(self, spark, dup_docs):
+        from ocr_toolkit_spark.operators.dedup import (
+            jaccard_verify, minhash_lsh_candidates)
+
+        cand = minhash_lsh_candidates(dup_docs, k=3, n_hashes=32, bands=16)
+        pairs = {(r.id_a, r.id_b) for r in cand.collect()}
+        assert (1, 2) in pairs  # identical docs always collide
+        verified = jaccard_verify(cand, dup_docs, k=3, threshold=0.99).collect()
+        assert any(v.id_a == 1 and v.id_b == 2 and v.jaccard == 1.0 for v in verified)
+        # distinct docs must not be verified pairs
+        assert not any({v.id_a, v.id_b} == {4, 6} for v in verified)
+
+    def test_simhash(self, spark, dup_docs):
+        from ocr_toolkit_spark.operators.dedup import simhash64, simhash_near_dups
+
+        sigs = {r.doc_id: r.s for r in dup_docs.select(
+            "doc_id", simhash64("text").alias("s")).collect()}
+        assert sigs[1] == sigs[2]  # identical text → identical signature
+        pairs = {(r.id_a, r.id_b): r.hamming
+                 for r in simhash_near_dups(dup_docs, max_hamming=3).collect()}
+        assert pairs.get((1, 2)) == 0
+
+
+class TestSimilarity:
+    @pytest.fixture(scope="class")
+    def vectors(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(0)
+        base = rng.standard_normal(8).astype("float32")
+        rows = [(0, base.tolist()), (1, (base + 0.01).tolist()),
+                (2, (-base).tolist())]
+        rows += [(i, rng.standard_normal(8).astype("float32").tolist())
+                 for i in range(3, 40)]
+        return spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+
+    def test_brute_force(self, spark, vectors):
+        from ocr_toolkit_spark.operators.similarity import brute_force_topk
+
+        r = brute_force_topk(vectors, vectors.filter("vec_id = 0"), k=3).collect()
+        assert r[0].neighbor_id == 1 and r[0].sim > 0.99  # nearest = perturbed copy
+        assert all(row.query_id == 0 for row in r) and len(r) == 3
+
+    def test_lsh_buckets_recall_nearest(self, spark, vectors):
+        from ocr_toolkit_spark.operators.similarity import lsh_topk
+
+        r = lsh_topk(vectors, vectors.filter("vec_id = 0"), dim=8, k=3, n_bits=4)
+        rows = r.collect()
+        # near-identical vectors share every SRP bucket → neighbor 1 is found
+        assert rows and rows[0].neighbor_id == 1
+
+    def test_embedding_near_dups(self, spark, vectors):
+        from ocr_toolkit_spark.operators.similarity import embedding_near_dups
+
+        pairs = {(r.id_a, r.id_b) for r in
+                 embedding_near_dups(vectors, dim=8, threshold=0.99, n_bits=4).collect()}
+        assert (0, 1) in pairs
+
+
+class TestTextStats:
+    def test_full_quality_matches_oracle(self, spark):
+        from ocr_toolkit_spark import oracle
+        from ocr_toolkit_spark.operators.textstats import with_quality
+
+        texts = [
+            "# Header\n\nsome paragraph text\n\n- a list item\n- another",
+            "aaaaaaa repeated char penalty",
+            "x",
+            "",
+            "many many words " * 50,
+            "a b c d e f g h i j k l m n o p",  # short-word penalty
+            "!@#$%^&*()!@#$%^&*() special",  # special-char penalty
+        ]
+        df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                                   "id int, text string")
+        rows = with_quality(df, "text", include_repeat_penalty=True).collect()
+        for r in rows:
+            exp = oracle.quality_score(texts[r.id])
+            for k in ("length_score", "structure_score", "diversity_score",
+                      "error_penalty", "total_score"):
+                assert abs(getattr(r, k) - exp[k]) < 1e-9, (r.id, k, getattr(r, k), exp[k])
+
+    def test_lang_id_and_tokens(self, spark):
+        from ocr_toolkit_spark.operators.textstats import lang_id, token_count
+
+        df = spark.createDataFrame(
+            [("这是中文文本",), ("the cat and the dog of the house",), ("xyz abc",)],
+            "text string")
+        r = df.select(lang_id("text").alias("l"), token_count("text").alias("t")).collect()
+        assert [x.l for x in r] == ["zh", "en", "other"]
+        assert r[1].t == 8
+
+
+class TestMultimodal:
+    def test_feature_stage(self, spark):
+        from ocr_toolkit_spark.operators.multimodal import extract_media_features
+
+        rows = [("m1", "image", b"payload-bytes-1"), ("m2", "audio", b"x"),
+                ("m3", "video", None)]
+        df = spark.createDataFrame(
+            rows, "media_ref string, media_type string, payload binary")
+        feats = {r.media_ref: r for r in extract_media_features(df).collect()}
+        assert feats["m1"].n_bytes == 15 and len(feats["m1"].feature) == 16
+        assert feats["m3"].n_bytes == 0
+        # deterministic: same payload → same feature
+        again = {r.media_ref: r for r in extract_media_features(df).collect()}
+        assert again["m1"].feature == feats["m1"].feature
+
+    def test_real_decode_is_stubbed(self):
+        from ocr_toolkit_spark.operators.multimodal import real_decode
+
+        with pytest.raises(NotImplementedError):
+            real_decode(b"", "image")
+
+    def test_join_media_to_spans(self, spark):
+        from ocr_toolkit_spark.fixtures import generate_documents, to_arrow
+        from ocr_toolkit_spark.operators.extract import extract_spans
+        from ocr_toolkit_spark.operators.multimodal import join_media_to_spans
+        import pyarrow.parquet as pq
+        import tempfile, os
+
+        docs = generate_documents(80, 42)
+        d = tempfile.mkdtemp()
+        pq.write_table(to_arrow(docs), os.path.join(d, "docs.parquet"))
+        extracted = extract_spans(spark.read.parquet(os.path.join(d, "docs.parquet")))
+        media = spark.createDataFrame([("none", "image", None)],
+                                      "media_ref string, media_type string, payload binary")
+        joined = join_media_to_spans(extracted, media)
+        assert joined.filter(F.col("media_ref") != "").count() > 0
