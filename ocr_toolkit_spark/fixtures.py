@@ -44,11 +44,37 @@ def _sha8(s: str) -> str:
     return hashlib.sha256(s.encode()).hexdigest()[:8]
 
 
+class _SentencePool:
+    """Pre-generated sentence pool so corpus generation is O(pool) string
+    joins instead of O(total spans) — large-corpus generation for BENCH was
+    measured to be join-bound. Sampling stays seed-deterministic."""
+
+    def __init__(self, rng: random.Random, size: int = 4096) -> None:
+        self.plain = [
+            " ".join(rng.choice(WORDS) for _ in range(rng.randint(3, 30)))
+            for _ in range(size)
+        ]
+        self.cjk = [
+            p + " " + "".join(rng.choice(CJK) for _ in range(rng.randint(2, 8)))
+            for p in self.plain[: size // 4]
+        ]
+
+    def sentence(self, rng: random.Random, n: int, cjk: bool = False) -> str:
+        if cjk:
+            return self.cjk[rng.randrange(len(self.cjk))]
+        if n <= 6:
+            # short sentences stay bespoke (cell payloads, sheet names)
+            return " ".join(rng.choice(WORDS) for _ in range(n))
+        return self.plain[rng.randrange(len(self.plain))]
+
+
+_POOL: _SentencePool | None = None
+
+
 def _sentence(rng: random.Random, n: int, cjk: bool = False) -> str:
-    ws = [rng.choice(WORDS) for _ in range(n)]
-    if cjk:
-        ws.append("".join(rng.choice(CJK) for _ in range(rng.randint(2, 8))))
-    return " ".join(ws)
+    return _POOL.sentence(rng, n, cjk) if _POOL else " ".join(
+        rng.choice(WORDS) for _ in range(n)
+    )
 
 
 def _span(kind: str, text: str = "", media_ref: str = "", offset: int = 0) -> dict:
@@ -252,7 +278,9 @@ SLICES = (
 def generate_documents(n_docs: int = 400, seed: int = 42,
                        skew: bool = True) -> list[tuple[str, list[dict] | None]]:
     """Deterministic corpus: list of (doc_id, spans)."""
+    global _POOL
     rng = random.Random(seed)
+    _POOL = _SentencePool(rng)
     docs: list[tuple[str, list[dict] | None]] = []
     for i in range(n_docs):
         doc_id = f"doc-{i:06d}"

@@ -5,18 +5,28 @@ per-format assembly (text wrap / markdown passthrough / encoding fallback /
 page assembly / sheet tables / HTML boilerplate strip), image keep-or-strip,
 and per-document failure containment. Replaces the reference's per-file Python
 loop (/root/reference/ocr_toolkit/cli/convert.py:536-540) and its processor
-dispatch (:380-445) with masked vectorized work over the whole batch:
+dispatch (:380-445).
 
-- explode `spans` via Arrow list offsets (zero-copy, no Python dicts for the
-  relational shape),
-- one stable (doc, offset) sort for reading order — `order` derives from data,
-  never from batch position (SPANS.md §5),
-- pandas `.str` / NumPy masks for all text transforms,
-- per-doc Python only for the two genuinely sequential kernels (HTML block
-  parse, sheet table stringify), amortized across the batch.
+Performance shape (measured; see BENCH/BASELINE.md):
+- span columns stay Arrow end-to-end — string transforms are
+  `pyarrow.compute` kernels (C++), never pandas object-dtype loops;
+  converting 2M span texts to Python objects costs more than every
+  transform combined;
+- reading order is ONE numpy lexsort on (doc, offset, position) — `order`
+  derives from data, never batch position (SPANS.md §5);
+- per-format emissions are numpy index arrays into the transformed Arrow
+  arrays; the final span text column is assembled with `pc.take`/`pc.if_else`
+  (zero Python-string round-trips for the majority formats);
+- Python touches only the minority kernels that are inherently sequential:
+  HTML block parse, sheet table stringify, bytes decode — each over just the
+  rows of that format, amortized across the batch.
 
 A document that fails (bad encoding, hostile content) yields an error row —
 never a task failure (reference: ocr_processor_wrapper.py:135-149).
+
+Whitespace note: trimming uses Arrow `utf8_trim_whitespace` (Unicode
+White_Space); the oracle uses Python `str.strip()`. These agree on all
+characters except U+001C..U+001F — documented in docs/SPANS.md §2.1.
 """
 
 from __future__ import annotations
@@ -28,433 +38,485 @@ from typing import Callable
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from pyspark.sql import DataFrame
 
 from ..functions.cells import format_cells
 from ..functions.html import extract_blocks
-from ..functions.textops import transform_text
 from ..schema import EXTRACTED_SCHEMA
 
-KNOWN_KINDS = frozenset(
-    {"text", "heading", "html", "image", "table_row", "page_break", "bytes"}
-)
-_MD_HEADER = r"^#{1,6} "
+KNOWN_KINDS = ("text", "heading", "html", "image", "table_row", "page_break", "bytes")
+_MD_HEADER_RE = "^#{1,6} "
 
-_OUT_SPAN_TYPE = pa.struct(
-    [
-        pa.field("kind", pa.string(), nullable=False),
-        pa.field("text", pa.string(), nullable=False),
-        pa.field("media_ref", pa.string(), nullable=False),
-        pa.field("order", pa.int32(), nullable=False),
-    ]
-)
+_KIND_NAMES = pa.array(["heading", "text", "table", "image"], pa.string())
+K_HEADING, K_TEXT, K_TABLE, K_IMAGE = 0, 1, 2, 3
 
-_EM_COLS = ["di", "sortkey", "kind", "text", "media_ref"]
+_OUT_FIELD_NAMES = [f.name for f in EXTRACTED_SCHEMA.fields]
+_OUT_SPAN_FIELDS = [
+    pa.field("kind", pa.string(), nullable=False),
+    pa.field("text", pa.string(), nullable=False),
+    pa.field("media_ref", pa.string(), nullable=False),
+    pa.field("order", pa.int32(), nullable=False),
+]
 
 
-def _empty_emissions() -> pd.DataFrame:
-    return pd.DataFrame(
-        {
-            "di": pd.Series(dtype=np.int64),
-            "sortkey": pd.Series(dtype=np.float64),
-            "kind": pd.Series(dtype=object),
-            "text": pd.Series(dtype=object),
-            "media_ref": pd.Series(dtype=object),
-        }
-    )
+class _Emissions:
+    """Column accumulator for output spans.
+
+    text source encoding: gen_idx >= 0 → generated-string table;
+    else raw_ref >= 0 → trimmed RAW span text; else ref → trimmed
+    TRANSFORMED span text. media likewise (gen or span media_ref).
+    """
+
+    def __init__(self) -> None:
+        self.di: list[np.ndarray] = []
+        self.sort: list[np.ndarray] = []
+        self.kind: list[np.ndarray] = []
+        self.ref: list[np.ndarray] = []
+        self.raw_ref: list[np.ndarray] = []
+        self.gen_idx: list[np.ndarray] = []
+        self.media_ref: list[np.ndarray] = []
+        self.media_gen: list[np.ndarray] = []
+        self.gen_strings: list[str] = [""]  # slot 0 reserved: empty string
+
+    def gen(self, s: str) -> int:
+        self.gen_strings.append(s)
+        return len(self.gen_strings) - 1
+
+    def add(
+        self,
+        di: np.ndarray,
+        sort: np.ndarray,
+        kind: int | np.ndarray,
+        ref: np.ndarray | None = None,
+        raw_ref: np.ndarray | None = None,
+        gen_idx: np.ndarray | None = None,
+        media_ref: np.ndarray | None = None,
+        media_gen: np.ndarray | None = None,
+    ) -> None:
+        n = len(di)
+        if n == 0:
+            return
+        neg = np.full(n, -1, dtype=np.int64)
+        self.di.append(np.asarray(di, np.int64))
+        self.sort.append(np.asarray(sort, np.float64))
+        self.kind.append(
+            np.full(n, kind, np.int8) if np.isscalar(kind) else np.asarray(kind, np.int8)
+        )
+        self.ref.append(neg if ref is None else np.asarray(ref, np.int64))
+        self.raw_ref.append(neg if raw_ref is None else np.asarray(raw_ref, np.int64))
+        self.gen_idx.append(neg if gen_idx is None else np.asarray(gen_idx, np.int64))
+        self.media_ref.append(neg if media_ref is None else np.asarray(media_ref, np.int64))
+        self.media_gen.append(neg if media_gen is None else np.asarray(media_gen, np.int64))
 
 
-def _decode_hex_bytes(values: pd.Series) -> tuple[pd.Series, pd.Series]:
-    """UTF-8 strict → GBK strict fallback (text_file_processor.py:70-78).
-    Returns (decoded, failed_mask). Loop only over the bytes-span minority —
-    the reference semantics are inherently per-value here."""
-    decoded = []
-    failed = []
-    for v in values:
+def _transform_text(arr: pa.Array, with_images: bool) -> pa.Array:
+    """Image keep/strip — SPANS.md §3.6, openocr_doc_handler.py:302-338.
+    All RE2/substring kernels, C++-side."""
+    if with_images:
+        arr = pc.replace_substring(arr, "](imgs/", "](media/")
+        arr = pc.replace_substring(arr, 'src="imgs/', 'src="media/')
+        arr = pc.replace_substring(arr, "src='imgs/", "src='media/")
+        return arr
+    arr = pc.replace_substring_regex(arr, r"!\[.*?\]\([^)]+\)", "")
+    arr = pc.replace_substring_regex(arr, r"(?i)<img[^>]*>", "")
+    arr = pc.replace_substring_regex(arr, r"\n{3,}", "\n\n")
+    return pc.utf8_trim_whitespace(arr)
+
+
+def _decode_hex_bytes(values: list[str]) -> tuple[list[str], np.ndarray]:
+    """UTF-8 strict → GBK strict fallback (text_file_processor.py:70-78)."""
+    decoded: list[str] = []
+    failed = np.zeros(len(values), dtype=bool)
+    for i, v in enumerate(values):
         try:
-            raw = bytes.fromhex(str(v).strip())
-        except ValueError:
-            decoded.append("")
-            failed.append(True)
-            continue
-        try:
-            decoded.append(raw.decode("utf-8"))
-            failed.append(False)
-        except UnicodeDecodeError:
+            raw = bytes.fromhex((v or "").strip())
             try:
-                decoded.append(raw.decode("gbk"))
-                failed.append(False)
+                decoded.append(raw.decode("utf-8"))
             except UnicodeDecodeError:
-                decoded.append("")
-                failed.append(True)
-    return (
-        pd.Series(decoded, index=values.index, dtype=object),
-        pd.Series(failed, index=values.index, dtype=bool),
-    )
+                decoded.append(raw.decode("gbk"))
+        except (ValueError, UnicodeDecodeError):
+            decoded.append("")
+            failed[i] = True
+    return decoded, failed
 
 
-def _process_batch(batch: pa.RecordBatch, with_images: bool) -> pa.RecordBatch:
+def _first_index_per_group(group_ids: np.ndarray, candidates: np.ndarray) -> dict[int, int]:
+    """candidates: sorted indices; returns {group: first candidate index}."""
+    if len(candidates) == 0:
+        return {}
+    g = group_ids[candidates]
+    uniq, first_pos = np.unique(g, return_index=True)
+    return dict(zip(uniq.tolist(), candidates[first_pos].tolist()))
+
+
+def _process_batch(
+    batch: pa.RecordBatch,
+    with_images: bool,
+    pages: frozenset[int] | None = None,
+) -> pa.RecordBatch:
     t0 = time.perf_counter()
     n_docs = batch.num_rows
-    doc_ids = batch.column("doc_id").to_pandas().astype(str).to_numpy(dtype=object)
+    doc_id_arr = batch.column("doc_id")
     spans_col = batch.column("spans")
 
-    lengths = (
-        pa.compute.list_value_length(spans_col).to_pandas().fillna(0).to_numpy(np.int64)
-    )
-    no_spans = lengths == 0  # null or empty → error (SPANS.md §3.8)
+    lengths = pc.list_value_length(spans_col).to_numpy(zero_copy_only=False)
+    lengths = np.nan_to_num(lengths).astype(np.int64)
+    no_spans = lengths == 0
 
-    flat = spans_col.flatten()  # struct values of all valid list slots, in doc order
+    flat = spans_col.flatten()
+    n_spans = len(flat)
     di = np.repeat(np.arange(n_docs, dtype=np.int64), lengths)
 
-    sp = pd.DataFrame(
-        {
-            "di": di,
-            "kind": flat.field("kind").to_pandas().fillna("").to_numpy(dtype=object),
-            "text": flat.field("text").to_pandas().fillna("").to_numpy(dtype=object),
-            "media_ref": flat.field("media_ref")
-            .to_pandas()
-            .fillna("")
-            .to_numpy(dtype=object),
-            "offset": flat.field("offset").to_pandas().fillna(0).to_numpy(np.int64),
-        }
-    )
-    # reading order: ascending offset, ties keep array position (SPANS.md §0)
-    sp = sp.sort_values(["di", "offset"], kind="stable", ignore_index=True)
-    sp["seq"] = np.arange(len(sp), dtype=np.int64)
+    kind_a = pc.fill_null(flat.field("kind"), "")
+    text_a = pc.fill_null(flat.field("text"), "")
+    media_a = pc.fill_null(flat.field("media_ref"), "")
+    offset = np.nan_to_num(
+        flat.field("offset").to_numpy(zero_copy_only=False)
+    ).astype(np.int64)
 
-    # ---- dispatch (SPANS.md §1), fully vectorized --------------------------
-    k = sp["kind"]
-    flag = pd.DataFrame(
-        {
-            "html": k.eq("html"),
-            "sheet": k.eq("table_row"),
-            "paged": k.eq("page_break"),
-            "bytes": k.eq("bytes"),
-            "texty": k.isin(("text", "heading")),
-            "known": k.isin(KNOWN_KINDS),
-        }
-    )
-    flag["di"] = sp["di"]
-    agg = flag.groupby("di").any().reindex(np.arange(n_docs), fill_value=False)
+    # reading order: ONE stable sort on (doc, offset, array position) — §0
+    perm = np.lexsort((np.arange(n_spans), offset, di))
+    identity = np.array_equal(perm, np.arange(n_spans))
+    if not identity:
+        perm_pa = pa.array(perm)
+        kind_a = pc.take(kind_a, perm_pa)
+        text_a = pc.take(text_a, perm_pa)
+        media_a = pc.take(media_a, perm_pa)
+        # di is unchanged: doc-major sort preserves the repeat pattern
 
-    texty_nonempty = flag["texty"].to_numpy() & (
-        sp["text"].str.strip().ne("").to_numpy()
+    kind_np = kind_a.to_numpy(zero_copy_only=False)  # small distinct set
+
+    # ---- dispatch (SPANS.md §1) ------------------------------------------
+    is_html = kind_np == "html"
+    is_tr = kind_np == "table_row"
+    is_pb = kind_np == "page_break"
+    is_by = kind_np == "bytes"
+    is_texty = (kind_np == "text") | (kind_np == "heading")
+    is_image = kind_np == "image"
+    is_known = is_html | is_tr | is_pb | is_by | is_texty | is_image
+
+    def doc_any(mask: np.ndarray) -> np.ndarray:
+        acc = np.zeros(n_docs, dtype=bool)
+        if mask.any():
+            acc[di[mask]] = True
+        return acc
+
+    has_html, has_tr, has_pb, has_by, has_texty, has_known = (
+        doc_any(m) for m in (is_html, is_tr, is_pb, is_by, is_texty, is_known)
     )
-    first_texty = sp[texty_nonempty].groupby("di")["text"].first()
-    md_docs = first_texty.str.strip().str.match(_MD_HEADER)
-    is_md = md_docs.reindex(np.arange(n_docs), fill_value=False).to_numpy(bool)
+
+    raw_trim = pc.utf8_trim_whitespace(text_a)
+    raw_nonempty = pc.not_equal(raw_trim, "").to_numpy(zero_copy_only=False)
+
+    texty_ne = np.nonzero(is_texty & raw_nonempty)[0]
+    firsts = _first_index_per_group(di, texty_ne)
+    is_md_doc = np.zeros(n_docs, dtype=bool)
+    if firsts:
+        fidx = np.fromiter(firsts.values(), dtype=np.int64)
+        fdocs = np.fromiter(firsts.keys(), dtype=np.int64)
+        md_match = pc.match_substring_regex(
+            pc.take(raw_trim, pa.array(fidx)), _MD_HEADER_RE
+        ).to_numpy(zero_copy_only=False)
+        is_md_doc[fdocs[md_match]] = True
 
     fmt = np.select(
-        [
-            no_spans,
-            agg["html"].to_numpy(),
-            agg["sheet"].to_numpy(),
-            agg["paged"].to_numpy(),
-            agg["bytes"].to_numpy(),
-            agg["texty"].to_numpy() & is_md,
-            agg["texty"].to_numpy(),
-            agg["known"].to_numpy(),
-        ],
+        [no_spans, has_html, has_tr, has_pb, has_by, has_texty & is_md_doc,
+         has_texty, has_known],
         ["error", "html", "sheet", "paged", "bytes_text", "markdown", "text", "text"],
         default="error",
     )
-
     errors = np.full(n_docs, "", dtype=object)
     errors[no_spans] = "empty document: no spans"
-    unk = (fmt == "error") & ~no_spans
-    errors[unk] = "unsupported content: no known span kinds"
+    errors[(fmt == "error") & ~no_spans] = "unsupported content: no known span kinds"
 
-    sp["fmt"] = fmt[sp["di"].to_numpy()]
+    span_fmt = fmt[di] if n_spans else np.empty(0, dtype=fmt.dtype)
 
-    # ---- per-span text transform (image keep/strip, SPANS.md §3.6) ---------
-    sp["text_t"] = transform_text(sp["text"], with_images)
+    # ---- transformed text (image keep/strip) ------------------------------
+    trans_trim = pc.utf8_trim_whitespace(_transform_text(text_a, with_images))
+    trans_nonempty = pc.not_equal(trans_trim, "").to_numpy(zero_copy_only=False)
 
-    emissions: list[pd.DataFrame] = []
+    em = _Emissions()
+    doc_ids_py: list[str] | None = None  # lazy; needed for wrap headings
 
-    # ---- bytes decode (SPANS.md §3.3) ---------------------------------------
-    bytes_mask = (sp["fmt"] == "bytes_text") & sp["kind"].eq("bytes")
-    if bytes_mask.any():
-        decoded, failed = _decode_hex_bytes(sp.loc[bytes_mask, "text"])
-        sp.loc[bytes_mask, "text_t"] = transform_text(decoded, with_images)
-        failed_di = np.unique(sp.loc[bytes_mask, "di"].to_numpy()[failed.to_numpy()])
-        errors[failed_di] = "decode error: not utf-8 or gbk"
-        # decoded bytes spans participate like text spans below
-        sp.loc[bytes_mask, "kind"] = "text"
+    def doc_ids() -> list[str]:
+        nonlocal doc_ids_py
+        if doc_ids_py is None:
+            doc_ids_py = doc_id_arr.to_pylist()
+        return doc_ids_py
+
+    seq = np.arange(n_spans, dtype=np.float64)
+
+    # ---- bytes decode (SPANS.md §3.3) --------------------------------------
+    decoded_trim: pa.Array | None = None
+    bytes_pos = np.nonzero((span_fmt == "bytes_text") & is_by)[0]
+    if len(bytes_pos):
+        vals = pc.take(text_a, pa.array(bytes_pos)).to_pylist()
+        decoded, dfailed = _decode_hex_bytes(vals)
+        errors[np.unique(di[bytes_pos[dfailed]])] = "decode error: not utf-8 or gbk"
+        decoded_trim = pc.utf8_trim_whitespace(
+            _transform_text(pa.array(decoded, pa.string()), with_images)
+        )
+        dec_nonempty = pc.not_equal(decoded_trim, "").to_numpy(zero_copy_only=False)
 
     # ---- text / bytes_text wrap (SPANS.md §3.1/3.3) -------------------------
-    text_fmt = np.isin(fmt, ("text", "bytes_text"))
-    tdocs = np.nonzero(text_fmt)[0]
-    if len(tdocs):
-        emissions.append(
-            pd.DataFrame(
-                {
-                    "di": tdocs,
-                    "sortkey": -1.0,
-                    "kind": "heading",
-                    "text": np.char.add("# ", doc_ids[tdocs].astype(str)).astype(object),
-                    "media_ref": "",
-                }
-            )
-        )
-        body = sp[
-            sp["fmt"].isin(("text", "bytes_text"))
-            & sp["kind"].isin(("text", "heading"))
-        ].copy()
-        body["text"] = body["text_t"].str.strip()
-        body = body[body["text"].ne("")]
-        emissions.append(
-            pd.DataFrame(
-                {
-                    "di": body["di"].to_numpy(),
-                    "sortkey": body["seq"].to_numpy(np.float64),
-                    "kind": "text",
-                    "text": body["text"].to_numpy(dtype=object),
-                    "media_ref": "",
-                }
-            )
-        )
+    text_docs = np.nonzero((fmt == "text") | (fmt == "bytes_text"))[0]
+    if len(text_docs):
+        ids = doc_ids()
+        gidx = np.array([em.gen(f"# {ids[d]}") for d in text_docs], np.int64)
+        em.add(text_docs, np.full(len(text_docs), -1.0), K_HEADING, gen_idx=gidx)
+        body = np.nonzero(
+            ((span_fmt == "text") | (span_fmt == "bytes_text"))
+            & is_texty & trans_nonempty
+        )[0]
+        em.add(di[body], seq[body], K_TEXT, ref=body)
+        if len(bytes_pos):
+            bsel = np.nonzero(dec_nonempty)[0]
+            keep = bytes_pos[bsel]
+            # ref into the decoded table via raw_ref=-1, gen=-1 → use dec map
+            em.add(di[keep], seq[keep], K_TEXT,
+                   ref=-(bsel.astype(np.int64)) - 2)  # encoded: -(i)-2 → decoded[i]
 
     # ---- markdown passthrough (SPANS.md §3.2) -------------------------------
-    md = sp[(sp["fmt"] == "markdown") & sp["kind"].isin(("text", "heading"))].copy()
-    if len(md):
-        md["text"] = md["text_t"].str.strip()
-        md = md[md["text"].ne("")]
-        md_kind = np.where(md["text"].str.match(_MD_HEADER), "heading", "text")
-        emissions.append(
-            pd.DataFrame(
-                {
-                    "di": md["di"].to_numpy(),
-                    "sortkey": md["seq"].to_numpy(np.float64),
-                    "kind": md_kind.astype(object),
-                    "text": md["text"].to_numpy(dtype=object),
-                    "media_ref": "",
-                }
-            )
-        )
+    md_body = np.nonzero((span_fmt == "markdown") & is_texty & trans_nonempty)[0]
+    if len(md_body):
+        is_hdr = pc.match_substring_regex(
+            pc.take(trans_trim, pa.array(md_body)), _MD_HEADER_RE
+        ).to_numpy(zero_copy_only=False)
+        em.add(di[md_body], seq[md_body],
+               np.where(is_hdr, K_HEADING, K_TEXT).astype(np.int8), ref=md_body)
 
     # ---- paged assembly (SPANS.md §3.4) -------------------------------------
-    pg = sp[sp["fmt"] == "paged"].copy()
-    if len(pg):
-        pg["page"] = pg["kind"].eq("page_break").groupby(pg["di"]).cumsum() + 1
-        parts = []
-        h = pg[pg["kind"] == "heading"].copy()
-        h["otext"] = h["text"].str.strip()  # headings untransformed (SPANS.md §3.4)
-        h = h[h["otext"].ne("")]
-        h["okind"] = "heading"
-        parts.append(h)
-        tx = pg[pg["kind"] == "text"].copy()
-        tx["otext"] = tx["text_t"].str.strip()
-        tx = tx[tx["otext"].ne("")]
-        tx["okind"] = "text"
-        parts.append(tx)
+    paged_span = span_fmt == "paged"
+    if paged_span.any():
+        pb_int = (paged_span & is_pb).astype(np.int64)
+        gcs = np.cumsum(pb_int)
+        starts = np.concatenate(([0], np.cumsum(lengths)))[:-1]
+        prefix = np.concatenate(([0], gcs))[starts]  # pb count before doc start
+        page_of = 1 + (gcs - pb_int) - prefix[di] if n_spans else np.empty(0, np.int64)
+
+        if pages is not None:
+            # page selection (SPANS.md §3.4.1): selected ∩ [1..n_pages] = ∅ → error
+            pb_per_doc = np.bincount(di[paged_span & is_pb], minlength=n_docs)
+            paged_docs = fmt == "paged"
+            invalid = paged_docs & ((pb_per_doc + 1) < min(pages))
+            errors[invalid] = "no valid pages selected"
+
+        ph = np.nonzero(paged_span & (kind_np == "heading") & raw_nonempty)[0]
+        ptx = np.nonzero(paged_span & (kind_np == "text") & trans_nonempty)[0]
+        body_parts = [ph, ptx]
         if with_images:
-            im = pg[pg["kind"] == "image"].copy()
-            im["otext"] = ""
-            im["okind"] = "image"
-            parts.append(im)
-        body = pd.concat(parts).sort_values("seq", kind="stable")
+            pim = np.nonzero(paged_span & is_image)[0]
+            body_parts.append(pim)
+        body = np.sort(np.concatenate(body_parts))
+        if pages is not None and len(body):
+            body = body[np.isin(page_of[body], np.fromiter(pages, dtype=np.int64))]
         if len(body):
-            hdr = (
-                body.groupby(["di", "page"], sort=False)["seq"].min().reset_index()
+            # page headers: first body row of each (doc, page) group
+            bdi, bpage = di[body], page_of[body]
+            new_grp = np.ones(len(body), dtype=bool)
+            new_grp[1:] = (bdi[1:] != bdi[:-1]) | (bpage[1:] != bpage[:-1])
+            hdr_rows = body[new_grp]
+            hdr_gen = np.array(
+                [em.gen(f"## Page {p}") for p in page_of[hdr_rows]], np.int64
             )
-            emissions.append(
-                pd.DataFrame(
-                    {
-                        "di": hdr["di"].to_numpy(),
-                        "sortkey": hdr["seq"].to_numpy(np.float64) - 0.5,
-                        "kind": "heading",
-                        "text": ("## Page " + hdr["page"].astype(str)).to_numpy(
-                            dtype=object
-                        ),
-                        "media_ref": "",
-                    }
-                )
-            )
-            emissions.append(
-                pd.DataFrame(
-                    {
-                        "di": body["di"].to_numpy(),
-                        "sortkey": body["seq"].to_numpy(np.float64),
-                        "kind": body["okind"].to_numpy(dtype=object),
-                        "text": body["otext"].to_numpy(dtype=object),
-                        "media_ref": np.where(
-                            body["okind"].eq("image"), body["media_ref"], ""
-                        ).astype(object),
-                    }
-                )
-            )
+            em.add(di[hdr_rows], seq[hdr_rows] - 0.5, K_HEADING, gen_idx=hdr_gen)
+            hsel = np.isin(body, ph)
+            tsel = np.isin(body, ptx)
+            em.add(di[body[hsel]], seq[body[hsel]], K_HEADING, raw_ref=body[hsel])
+            em.add(di[body[tsel]], seq[body[tsel]], K_TEXT, ref=body[tsel])
+            if with_images:
+                isel = ~(hsel | tsel)
+                irows = body[isel]
+                em.add(di[irows], seq[irows], K_IMAGE,
+                       gen_idx=np.zeros(len(irows), np.int64),
+                       media_ref=irows)
 
-    # ---- sheet assembly (SPANS.md §3.5) -------------------------------------
-    sh = sp[sp["fmt"] == "sheet"].copy()
-    if len(sh):
-        sdocs = np.unique(sh["di"].to_numpy())
-        emissions.append(
-            pd.DataFrame(
-                {
-                    "di": sdocs,
-                    "sortkey": -1.0,
-                    "kind": "heading",
-                    "text": np.char.add("# ", doc_ids[sdocs].astype(str)).astype(object),
-                    "media_ref": "",
-                }
+    # ---- sheet assembly (SPANS.md §3.5) — minority, Python stringify --------
+    sheet_rows = np.nonzero((span_fmt == "sheet") & (is_tr | (kind_np == "heading")))[0]
+    sheet_docs = np.nonzero(fmt == "sheet")[0]
+    if len(sheet_docs):
+        ids = doc_ids()
+        gidx = np.array([em.gen(f"# {ids[d]}") for d in sheet_docs], np.int64)
+        em.add(sheet_docs, np.full(len(sheet_docs), -2.0), K_HEADING, gen_idx=gidx)
+    if len(sheet_rows):
+        s_di = di[sheet_rows]
+        s_kind = kind_np[sheet_rows]
+        s_text = pc.take(text_a, pa.array(sheet_rows)).to_pylist()
+        s_seq = seq[sheet_rows]
+        # vectorized cell formatting across ALL sheet cells of the batch
+        row_mask = s_kind == "table_row"
+        cell_lists = [t.split("\x1f") for t in
+                      (s_text[i] for i in np.nonzero(row_mask)[0])]
+        if cell_lists:
+            flat_cells = pd.Series(
+                [c for cl in cell_lists for c in cl], dtype=object
             )
-        )
-        sh = sh[sh["kind"].isin(("heading", "table_row"))].copy()
-        sh["sheet"] = sh["kind"].eq("heading").groupby(sh["di"]).cumsum()
-        # sheet 0 exists only if it has table rows (rows before any heading)
-        keep0 = sh["sheet"].gt(0) | sh["kind"].eq("table_row")
-        sh = sh[keep0]
-        if len(sh):
-            rows = sh[sh["kind"] == "table_row"].copy()
-            cell_lists = rows["text"].str.split("\x1f")
-            exploded = cell_lists.explode()
-            formatted = format_cells(exploded.astype(object))
-            fmt_lists = formatted.groupby(level=0, sort=False).agg(list)
-            rows["cells"] = fmt_lists
-            rows["ncells"] = cell_lists.str.len()
+            fmt_flat = format_cells(flat_cells).to_numpy(dtype=object)
+            cuts = np.cumsum([len(cl) for cl in cell_lists])[:-1]
+            fmt_lists = [a.tolist() for a in np.split(fmt_flat, cuts)]
+        else:
+            fmt_lists = []
+        # per-doc sheet segmentation (loop over sheet spans only)
+        e_di, e_sort, e_kind, e_gen = [], [], [], []
+        row_i = 0
+        cur_doc = -1
+        sheets: list[tuple[float, str, list[list[str]]]] = []
 
-            heads = sh[sh["kind"] == "heading"]
-            sheet_names: dict[tuple[int, int], str] = {}
-            sheet_key_seq: dict[tuple[int, int], int] = {}
-            for di_, sheet_, seq_, txt_ in zip(
-                heads["di"], heads["sheet"], heads["seq"], heads["text"]
-            ):
-                key = (int(di_), int(sheet_))
-                sheet_names[key] = txt_.strip() or "Sheet"
-                sheet_key_seq[key] = int(seq_)
-            # sheets present (with or without rows)
-            all_keys = sh.groupby(["di", "sheet"], sort=False)["seq"].min()
-            em_di, em_sort, em_kind, em_text = [], [], [], []
-            grouped_rows = {
-                key: grp
-                for key, grp in rows.groupby(["di", "sheet"], sort=False)
-            }
-            for (di_, sheet_), s0 in all_keys.items():
-                key = (int(di_), int(sheet_))
-                name = sheet_names.get(key, "Sheet1")
-                em_di.append(di_)
-                em_sort.append(float(s0))
-                em_kind.append("heading")
-                em_text.append(f"## Sheet: {name}")
-                grp = grouped_rows.get(key)
-                if grp is None or not len(grp):
-                    em_di.append(di_)
-                    em_sort.append(float(s0) + 0.5)
-                    em_kind.append("text")
-                    em_text.append("*(Empty sheet)*")
+        def flush_doc(d: int) -> None:
+            for s0, name, rows in sheets:
+                e_di.append(d); e_sort.append(s0); e_kind.append(K_HEADING)
+                e_gen.append(em.gen(f"## Sheet: {name}"))
+                e_di.append(d); e_sort.append(s0 + 0.5)
+                if not rows:
+                    e_kind.append(K_TEXT); e_gen.append(em.gen("*(Empty sheet)*"))
                     continue
-                max_cols = int(grp["ncells"].max())
-                lines: list[str] = []
-                for i, cells in enumerate(grp["cells"]):
-                    padded = cells + [""] * (max_cols - len(cells))
+                max_cols = max(len(r) for r in rows)
+                lines = []
+                for i, r in enumerate(rows):
+                    padded = r + [""] * (max_cols - len(r))
                     lines.append("| " + " | ".join(padded) + " |")
                     if i == 0:
                         lines.append("| " + " | ".join(["---"] * max_cols) + " |")
-                em_di.append(di_)
-                em_sort.append(float(s0) + 0.5)
-                em_kind.append("table")
-                em_text.append("\n".join(lines))
-            emissions.append(
-                pd.DataFrame(
-                    {
-                        "di": np.asarray(em_di, dtype=np.int64),
-                        "sortkey": np.asarray(em_sort, dtype=np.float64),
-                        "kind": np.asarray(em_kind, dtype=object),
-                        "text": np.asarray(em_text, dtype=object),
-                        "media_ref": "",
-                    }
-                )
-            )
+                e_kind.append(K_TABLE); e_gen.append(em.gen("\n".join(lines)))
 
-    # ---- html boilerplate strip (SPANS.md §3.7) ------------------------------
-    ht = sp[(sp["fmt"] == "html") & sp["kind"].eq("html")]
-    if len(ht):
-        joined = ht.groupby("di", sort=False)["text"].agg("\n".join)
-        em_di, em_sort, em_kind, em_text, em_ref = [], [], [], [], []
-        for di_, html in joined.items():
+        for j in range(len(sheet_rows)):
+            d = int(s_di[j])
+            if d != cur_doc:
+                if cur_doc >= 0:
+                    flush_doc(cur_doc)
+                cur_doc, sheets = d, []
+            if s_kind[j] == "heading":
+                sheets.append((float(s_seq[j]), s_text[j].strip() or "Sheet", []))
+            else:
+                if not sheets:
+                    sheets.append((float(s_seq[j]), "Sheet1", []))
+                sheets[-1][2].append(fmt_lists[row_i])
+                row_i += 1
+        if cur_doc >= 0:
+            flush_doc(cur_doc)
+        em.add(np.asarray(e_di, np.int64), np.asarray(e_sort, np.float64),
+               np.asarray(e_kind, np.int8), gen_idx=np.asarray(e_gen, np.int64))
+
+    # ---- html boilerplate strip (SPANS.md §3.7) — minority, Python parse ----
+    html_rows = np.nonzero((span_fmt == "html") & is_html)[0]
+    if len(html_rows):
+        h_di = di[html_rows]
+        h_text = pc.take(text_a, pa.array(html_rows)).to_pylist()
+        e_di, e_sort, e_kind, e_gen, e_mgen = [], [], [], [], []
+        i = 0
+        while i < len(html_rows):
+            j = i
+            while j < len(html_rows) and h_di[j] == h_di[i]:
+                j += 1
+            html = "\n".join(h_text[i:j])
+            d = int(h_di[i])
             ctr = 0
             for blk in extract_blocks(html):
                 if not blk.kept:
                     continue
                 if blk.heading_level > 0:
-                    em_kind.append("heading")
-                    em_text.append("#" * blk.heading_level + " " + blk.text)
-                    em_ref.append("")
-                    em_di.append(di_)
-                    em_sort.append(float(ctr))
-                    ctr += 1
+                    e_kind.append(K_HEADING)
+                    e_gen.append(em.gen("#" * blk.heading_level + " " + blk.text))
                 else:
-                    em_kind.append("text")
-                    em_text.append(blk.text)
-                    em_ref.append("")
-                    em_di.append(di_)
-                    em_sort.append(float(ctr))
-                    ctr += 1
+                    e_kind.append(K_TEXT)
+                    e_gen.append(em.gen(blk.text))
+                e_di.append(d); e_sort.append(float(ctr)); e_mgen.append(-1)
+                ctr += 1
                 if with_images:
                     for src in blk.img_srcs:
-                        em_kind.append("image")
-                        em_text.append("")
-                        em_ref.append(src)
-                        em_di.append(di_)
-                        em_sort.append(float(ctr))
+                        e_di.append(d); e_sort.append(float(ctr))
+                        e_kind.append(K_IMAGE); e_gen.append(0)
+                        e_mgen.append(em.gen(src))
                         ctr += 1
-        if em_di:
-            emissions.append(
-                pd.DataFrame(
-                    {
-                        "di": np.asarray(em_di, dtype=np.int64),
-                        "sortkey": np.asarray(em_sort, dtype=np.float64),
-                        "kind": np.asarray(em_kind, dtype=object),
-                        "text": np.asarray(em_text, dtype=object),
-                        "media_ref": np.asarray(em_ref, dtype=object),
-                    }
-                )
-            )
+            i = j
+        em.add(np.asarray(e_di, np.int64), np.asarray(e_sort, np.float64),
+               np.asarray(e_kind, np.int8), gen_idx=np.asarray(e_gen, np.int64),
+               media_gen=np.asarray(e_mgen, np.int64))
 
     # ---- finalize -----------------------------------------------------------
-    em = (
-        pd.concat([e[_EM_COLS] for e in emissions], ignore_index=True)
-        if emissions
-        else _empty_emissions()
-    )
-    failed = errors != ""
-    if failed.any() and len(em):
-        em = em[~failed[em["di"].to_numpy()]]
-    em = em.sort_values(["di", "sortkey"], kind="stable", ignore_index=True)
+    if em.di:
+        E_di = np.concatenate(em.di)
+        E_sort = np.concatenate(em.sort)
+        E_kind = np.concatenate(em.kind)
+        E_ref = np.concatenate(em.ref)
+        E_raw = np.concatenate(em.raw_ref)
+        E_gen = np.concatenate(em.gen_idx)
+        E_mref = np.concatenate(em.media_ref)
+        E_mgen = np.concatenate(em.media_gen)
+    else:
+        E_di = np.empty(0, np.int64)
+        E_sort = E_ref = E_raw = E_gen = E_mref = E_mgen = np.empty(0, np.int64)
+        E_kind = np.empty(0, np.int8)
 
-    em_di_arr = em["di"].to_numpy(np.int64) if len(em) else np.empty(0, np.int64)
-    counts = np.bincount(em_di_arr, minlength=n_docs).astype(np.int64)
-    order = np.arange(len(em), dtype=np.int32) - np.repeat(
-        np.concatenate(([0], np.cumsum(counts)))[:-1], counts
-    ).astype(np.int32)
+    failed = errors != ""
+    if failed.any() and len(E_di):
+        keep = ~failed[E_di]
+        E_di, E_sort, E_kind = E_di[keep], E_sort[keep], E_kind[keep]
+        E_ref, E_raw, E_gen = E_ref[keep], E_raw[keep], E_gen[keep]
+        E_mref, E_mgen = E_mref[keep], E_mgen[keep]
+
+    ordp = np.lexsort((np.arange(len(E_di)), E_sort, E_di))
+    E_di, E_sort, E_kind = E_di[ordp], E_sort[ordp], E_kind[ordp]
+    E_ref, E_raw, E_gen = E_ref[ordp], E_raw[ordp], E_gen[ordp]
+    E_mref, E_mgen = E_mref[ordp], E_mgen[ordp]
+
+    counts = np.bincount(E_di, minlength=n_docs).astype(np.int64)
+    offsets64 = np.concatenate(([0], np.cumsum(counts)))
+    order = (np.arange(len(E_di)) - np.repeat(offsets64[:-1], counts)).astype(np.int32)
+
+    gen_arr = pa.array(em.gen_strings, pa.string())
+    # text: gen > decoded(ref<=-2) > raw_ref > transformed ref
+    safe_ref = np.where(E_ref >= 0, E_ref, 0)
+    text_final = pc.take(trans_trim, pa.array(safe_ref))
+    if (E_raw >= 0).any():
+        text_final = pc.if_else(
+            pa.array(E_raw >= 0),
+            pc.take(raw_trim, pa.array(np.where(E_raw >= 0, E_raw, 0))),
+            text_final,
+        )
+    dec_sel = E_ref <= -2
+    if dec_sel.any():
+        didx = np.where(dec_sel, -(E_ref) - 2, 0)
+        text_final = pc.if_else(
+            pa.array(dec_sel), pc.take(decoded_trim, pa.array(didx)), text_final
+        )
+    gen_sel = E_gen >= 0
+    if gen_sel.any():
+        text_final = pc.if_else(
+            pa.array(gen_sel),
+            pc.take(gen_arr, pa.array(np.where(gen_sel, E_gen, 0))),
+            text_final,
+        )
+
+    media_final = pc.take(gen_arr, pa.array(np.where(E_mgen >= 0, E_mgen, 0)))
+    if (E_mref >= 0).any():
+        media_final = pc.if_else(
+            pa.array(E_mref >= 0),
+            pc.take(media_a, pa.array(np.where(E_mref >= 0, E_mref, 0))),
+            media_final,
+        )
+
+    kind_final = pc.take(_KIND_NAMES, pa.array(E_kind.astype(np.int32)))
 
     out_values = pa.StructArray.from_arrays(
-        [
-            pa.array(em["kind"].to_numpy(dtype=object) if len(em) else [], pa.string()),
-            pa.array(em["text"].to_numpy(dtype=object) if len(em) else [], pa.string()),
-            pa.array(
-                em["media_ref"].to_numpy(dtype=object) if len(em) else [], pa.string()
-            ),
-            pa.array(order, pa.int32()),
-        ],
-        fields=list(_OUT_SPAN_TYPE),
+        [kind_final, text_final, media_final, pa.array(order, pa.int32())],
+        fields=_OUT_SPAN_FIELDS,
     )
-    offsets = pa.array(
-        np.concatenate(([0], np.cumsum(counts))).astype(np.int32), pa.int32()
+    out_spans = pa.ListArray.from_arrays(
+        pa.array(offsets64.astype(np.int32), pa.int32()), out_values
     )
-    out_spans = pa.ListArray.from_arrays(offsets, out_values)
 
     n_chars = np.zeros(n_docs, dtype=np.int64)
-    if len(em):
-        lens = em["text"].str.len().to_numpy(np.int64)
-        np.add.at(n_chars, em_di_arr, lens)
+    if len(E_di):
+        lens = pc.utf8_length(text_final).to_numpy(zero_copy_only=False)
+        n_chars = np.bincount(E_di, weights=lens, minlength=n_docs).astype(np.int64)
 
     elapsed = (time.perf_counter() - t0) * 1000.0 / max(n_docs, 1)
     return pa.RecordBatch.from_arrays(
         [
-            pa.array(doc_ids, pa.string()),
+            doc_id_arr,
             out_spans,
             pa.array(~failed),
             pa.array(errors, pa.string()),
@@ -463,23 +525,36 @@ def _process_batch(batch: pa.RecordBatch, with_images: bool) -> pa.RecordBatch:
             pa.array(n_chars, pa.int64()),
             pa.array(np.full(n_docs, elapsed), pa.float64()),
         ],
-        names=[f.name for f in EXTRACTED_SCHEMA.fields],
+        names=_OUT_FIELD_NAMES,
     )
 
 
 def make_extract_fn(
     with_images: bool = True,
+    pages: frozenset[int] | None = None,
 ) -> Callable[[Iterator[pa.RecordBatch]], Iterator[pa.RecordBatch]]:
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
             if batch.num_rows:
-                yield _process_batch(batch, with_images)
+                yield _process_batch(batch, with_images, pages)
 
     return fn
 
 
-def extract_spans(df: DataFrame, with_images: bool = True) -> DataFrame:
-    """documents(doc_id, spans) → extracted(...) via one mapInArrow stage."""
+def extract_spans(
+    df: DataFrame,
+    with_images: bool = True,
+    pages: frozenset[int] | str | None = None,
+) -> DataFrame:
+    """documents(doc_id, spans) → extracted(...) via one mapInArrow stage.
+
+    `pages`: optional page selection for paged docs — a spec string like
+    "1-5,10" (reference `--pages`, page_selection.py:20-68) or a frozenset of
+    1-based page numbers."""
+    if isinstance(pages, str):
+        from ..functions.pages import parse_pages
+
+        pages = parse_pages(pages)
     return df.select("doc_id", "spans").mapInArrow(
-        make_extract_fn(with_images), EXTRACTED_SCHEMA
+        make_extract_fn(with_images, pages), EXTRACTED_SCHEMA
     )

@@ -180,16 +180,23 @@ def _extract_bytes_text(doc_id: str, spans: list[dict], em: _Emitter, with_image
             em.emit_block("text", _text_span_content(s["text"], with_images))
 
 
-def _extract_paged(doc_id: str, spans: list[dict], em: _Emitter, with_images: bool) -> None:
+def _extract_paged(doc_id: str, spans: list[dict], em: _Emitter, with_images: bool,
+                   selected: frozenset[int] | None = None) -> None:
     """SPANS.md §3.4 — `## Page {n}` headers + reading-order assembly
-    (openocr_doc_handler.py:208-224, 241-276)."""
+    (openocr_doc_handler.py:208-224, 241-276); page selection §3.4.1
+    (page_selection.py:20-68, clamp openocr_doc_handler.py:186-193)."""
     pages: list[list[dict]] = [[]]
     for s in _sorted_spans(spans):
         if s["kind"] == "page_break":
             pages.append([])
         else:
             pages[-1].append(s)
+    if selected is not None:
+        if not (selected & set(range(1, len(pages) + 1))):
+            raise _DocError("no valid pages selected")
     for page_no, page in enumerate(pages, start=1):
+        if selected is not None and page_no not in selected:
+            continue
         staged: list[OutSpan] = []
         sub = _Emitter()
         for s in page:
@@ -409,9 +416,11 @@ _HANDLERS = {
 
 
 def extract_document(doc_id: str, spans: list[dict] | None,
-                     with_images: bool = True) -> ExtractResult:
+                     with_images: bool = True,
+                     pages: frozenset[int] | None = None) -> ExtractResult:
     """Extract ONE document per SPANS.md. Never raises — per-doc failure
-    containment (ocr_processor_wrapper.py:135-149)."""
+    containment (ocr_processor_wrapper.py:135-149). `pages` applies only to
+    paged docs (SPANS.md §3.4.1)."""
     fmt = sniff_format(spans)
     if fmt == "error":
         err = (
@@ -422,7 +431,10 @@ def extract_document(doc_id: str, spans: list[dict] | None,
         return ExtractResult(doc_id, [], False, err, "error")
     em = _Emitter()
     try:
-        _HANDLERS[fmt](doc_id, list(spans or []), em, with_images)
+        if fmt == "paged":
+            _extract_paged(doc_id, list(spans or []), em, with_images, pages)
+        else:
+            _HANDLERS[fmt](doc_id, list(spans or []), em, with_images)
     except _DocError as exc:
         return ExtractResult(doc_id, [], False, str(exc), fmt)
     except Exception as exc:  # containment: any bug → error row, not task kill
@@ -431,8 +443,9 @@ def extract_document(doc_id: str, spans: list[dict] | None,
 
 
 def extract_corpus(docs: list[tuple[str, list[dict] | None]],
-                   with_images: bool = True) -> list[ExtractResult]:
-    return [extract_document(d, s, with_images) for d, s in docs]
+                   with_images: bool = True,
+                   pages: frozenset[int] | None = None) -> list[ExtractResult]:
+    return [extract_document(d, s, with_images, pages) for d, s in docs]
 
 
 # --- quality scoring (T10) — SPANS.md §4 / quality_evaluator.py:46-126 --------

@@ -131,6 +131,34 @@ def run_extraction(
     return RunStats(run_id=run_id, partitions_processed=n_new, partitions_skipped=skipped)
 
 
+def render_markdown_col() -> "F.Column":
+    """The reference's final artifact: one markdown string per document —
+    `"\\n\\n"`-joined non-image span texts (openocr_doc_handler.py:276,
+    markdown sink cli/convert.py:61-64). Pure JVM array algebra."""
+    return F.array_join(
+        F.transform(
+            F.filter(F.col("out_spans"), lambda s: s["kind"] != "image"),
+            lambda s: s["text"],
+        ),
+        "\n\n",
+    )
+
+
+def with_markdown(extracted: DataFrame) -> DataFrame:
+    return extracted.withColumn("markdown", render_markdown_col())
+
+
+def with_output_quality(extracted: DataFrame) -> DataFrame:
+    """T10 quality scoring over the rendered output (quality_evaluator.py:
+    46-126) — the distributed version of per-file post-scoring."""
+    from .operators.textstats import quality_columns
+
+    df = with_markdown(extracted)
+    for name, col in quality_columns(F.col("markdown")).items():
+        df = df.withColumn(name, col)
+    return df
+
+
 def extraction_stats(extracted: DataFrame) -> DataFrame:
     """Corpus-level metrics — the distributed ProcessingStats
     (/root/reference/ocr_toolkit/processors/stats.py:28-85): Catalyst handles
