@@ -16,12 +16,24 @@ DEFAULT_SHUFFLE_PARTITIONS = 32
 ARROW_MAX_RECORDS = 1024  # docs per Arrow batch into the extract stage
 
 
+def _pin_blas_threads() -> None:
+    """One BLAS/OMP thread per Python worker. In local mode
+    `spark.executorEnv` does NOT reach the workers (they inherit the driver
+    env), and N workers × N-thread OpenBLAS pools measured as an 80%-system-
+    time context-switch storm. Reference analog: OMP/MKL pinning at
+    cli/convert.py:55-58."""
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS",
+                "NUMEXPR_NUM_THREADS", "VECLIB_MAXIMUM_THREADS"):
+        os.environ.setdefault(var, "1")
+
+
 def get_spark(
     app_name: str = "ocr_toolkit_spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
+    _pin_blas_threads()
     master = master or os.environ.get("SPARK_MASTER", "local[32]")
     shuffle_partitions = shuffle_partitions or int(
         os.environ.get("SPARK_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)
@@ -40,6 +52,13 @@ def get_spark(
         .config("spark.executorEnv.MKL_NUM_THREADS", "1")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        # shuffle/spill to tmpfs: this box's /tmp is VM-disk-backed and its
+        # write-back stalls dominate run variance; a real cluster would have
+        # local NVMe here. Overridable via SPARK_LOCAL_DIRS.
+        .config(
+            "spark.local.dir",
+            os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/spark-local"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

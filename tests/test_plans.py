@@ -1,0 +1,80 @@
+"""Physical-plan properties that must hold at scale (SURVEY.md §4):
+one Python stage on the extraction path, pushdown into scans, broadcasts
+for small sides. These guard against regressions that would only show up
+as cluster-scale slowdowns."""
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from ocr_toolkit_spark.plans import (
+    assert_broadcast_join,
+    assert_filter_pushed,
+    assert_single_python_stage,
+    formatted_plan,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def corpus_path(tmp_path_factory):
+    from ocr_toolkit_spark.fixtures import write_corpus
+
+    p = str(tmp_path_factory.mktemp("plans") / "docs.parquet")
+    write_corpus(p, n_docs=100, seed=42)
+    return p
+
+
+def test_extraction_is_one_python_stage(spark, corpus_path):
+    from ocr_toolkit_spark.operators.extract import extract_spans
+    from ocr_toolkit_spark.pipeline import salt_oversized, with_partition_id
+
+    docs = with_partition_id(spark.read.parquet(corpus_path))
+    pipe = extract_spans(
+        salt_oversized(docs).repartition(8, "partition_id", "salt")
+        .select("doc_id", "spans")
+    )
+    assert_single_python_stage(pipe)
+
+
+def test_scan_pruning_and_pushdown(spark):
+    df = (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .filter(F.col("l_quantity") > 10)
+        .select("l_returnflag", "l_quantity")
+    )
+    assert_filter_pushed(df, "GreaterThan(l_quantity")
+    plan = formatted_plan(df)
+    # column pruning: the 11-column table scans only what the query needs
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_returnflag" in read_schema and "l_extendedprice" not in read_schema
+
+
+def test_resume_anti_join_broadcasts(spark, corpus_path):
+    from ocr_toolkit_spark.pipeline import with_partition_id
+
+    docs = with_partition_id(spark.read.parquet(corpus_path))
+    committed = spark.createDataFrame([(0,), (1,)], "partition_id int")
+    plan_df = docs.join(F.broadcast(committed), "partition_id", "left_anti")
+    assert_broadcast_join(plan_df)
+
+
+def test_similarity_queries_broadcast(spark):
+    from ocr_toolkit_spark.operators.similarity import brute_force_topk
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    out = brute_force_topk(e, e.filter("vec_id < 3"), k=2)
+    assert_broadcast_join(out)
+
+
+def test_no_row_python_udf_in_entry_queries(spark):
+    """input_hint bans per-row Python: every entry query plan must be free of
+    BatchEvalPython (row-at-a-time UDF execution)."""
+    import __spark_entry__ as em
+
+    for name, fn in em.queries().items():
+        plan = formatted_plan(fn(spark, SF_DIR))
+        assert "BatchEvalPython" not in plan, name
