@@ -248,6 +248,65 @@ def q_tpch_q3_topk(spark, sf_dir):
     )
 
 
+def q_pivot_lineitem(spark, sf_dir):
+    """Pivot: per-returnflag quantity split by linestatus."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .sum("l_quantity")
+        .select(
+            "l_returnflag",
+            F.col("O").alias("qty_open"),
+            F.col("F").alias("qty_filled"),
+        )
+    )
+
+
+def q_set_ops(spark, sf_dir):
+    """Set operations: customers who placed orders (intersect) and who
+    never did (except), as counts."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    both = c.intersect(o)
+    never = c.exceptAll(o.distinct())
+    return both.agg(F.count("*").alias("n_with_orders")).crossJoin(
+        never.agg(F.count("*").alias("n_without_orders"))
+    )
+
+
+def q_semi_join(spark, sf_dir):
+    """Left-semi (EXISTS): orders having any high-quantity lineitem."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 45)
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+def q_date_trunc(spark, sf_dir):
+    """Date/time functions: daily event rollup."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+
+
+def q_json_extract(spark, sf_dir):
+    """JSON functions: extract props.k, bucket it, aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy((k % 10).alias("k_bucket")).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+    )
+
+
 def q_window_running(spark, sf_dir):
     """Window: running per-user sum over event time."""
     from pyspark.sql import Window
@@ -374,6 +433,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_bruteforce": q_similarity_bruteforce,
         "tpch_q1": q_tpch_q1,
         "tpch_q3_topk": q_tpch_q3_topk,
+        "pivot_lineitem": q_pivot_lineitem,
+        "set_ops": q_set_ops,
+        "semi_join": q_semi_join,
+        "date_trunc": q_date_trunc,
+        "json_extract": q_json_extract,
         "window_running": q_window_running,
         "rollup_orders": q_rollup_orders,
         # rows-only (no SQL equivalent):
@@ -544,6 +608,40 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY o.o_orderkey, o.o_orderdate
             ORDER BY revenue DESC, o.o_orderkey ASC
             LIMIT 10
+        """,
+        "pivot_lineitem": """
+            SELECT l_returnflag,
+                   sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS qty_open,
+                   sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS qty_filled
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "set_ops": """
+            SELECT
+              (SELECT count(*) FROM
+                (SELECT c_custkey AS k FROM customer
+                 INTERSECT SELECT o_custkey FROM orders) t1) AS n_with_orders,
+              (SELECT count(*) FROM
+                (SELECT c_custkey AS k FROM customer
+                 EXCEPT ALL SELECT DISTINCT o_custkey FROM orders) t2) AS n_without_orders
+        """,
+        "semi_join": """
+            SELECT o_orderstatus, count(*) AS n_orders
+            FROM orders o
+            WHERE EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 45)
+            GROUP BY o_orderstatus
+        """,
+        "date_trunc": """
+            SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS total_value
+            FROM events GROUP BY 1
+        """,
+        "json_extract": """
+            SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
+                   count(*) AS n_events,
+                   round(avg(value), 4) AS avg_value
+            FROM events GROUP BY 1
         """,
         "window_running": """
             SELECT user_id, event_id,
