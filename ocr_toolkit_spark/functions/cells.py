@@ -34,7 +34,9 @@ def format_cells(cells: pd.Series) -> pd.Series:
         f = s[is_float].astype(float)
         whole = f == np.trunc(f)
         rendered = f.map("{:.2f}".format)
-        rendered[whole] = np.trunc(f[whole]).astype(np.int64).astype(str)
+        # python int conversion, not astype(int64): whole floats beyond
+        # ±2^63 must render exactly like the oracle's str(int(x))
+        rendered[whole] = f[whole].map(lambda v: str(int(v)))
         out[is_float] = rendered
     if is_str.any():
         t = s[is_str].str.replace("|", "\\|", regex=False)

@@ -1,0 +1,101 @@
+"""Property-based tests (hypothesis): the vectorized kernels must equal the
+oracle on ARBITRARY inputs, not just the fixture distributions — randomized
+span soup, adversarial cell payloads, arbitrary page selections."""
+
+import string
+
+from hypothesis import given, settings, strategies as st
+
+from ocr_toolkit_spark import oracle
+from ocr_toolkit_spark.fixtures import to_arrow
+from ocr_toolkit_spark.functions.cells import format_cells
+from ocr_toolkit_spark.operators.extract import _process_batch
+
+TEXT = st.text(
+    alphabet=string.ascii_letters + string.digits + " \n\t#|-*.!()[]<>/\"'中文字" + "\x1f",
+    max_size=120,
+)
+KINDS = st.sampled_from(
+    ["text", "heading", "html", "image", "table_row", "page_break", "bytes",
+     "mystery", ""]
+)
+
+SPAN = st.fixed_dictionaries(
+    {
+        "kind": KINDS,
+        "text": st.one_of(st.none(), TEXT),
+        "media_ref": st.one_of(st.none(), st.text(max_size=20)),
+        "offset": st.one_of(st.none(), st.integers(-5, 50)),
+    }
+)
+DOC = st.one_of(st.none(), st.lists(SPAN, max_size=12))
+
+
+def _tuples(result_spans):
+    return [(s["kind"], s["text"], s["media_ref"], s["order"]) for s in result_spans]
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(DOC, min_size=1, max_size=8), st.booleans())
+def test_kernel_equals_oracle_on_arbitrary_spans(span_docs, with_images):
+    docs = [(f"d{i}", s) for i, s in enumerate(span_docs)]
+    # bytes spans carry hex; arbitrary text is usually invalid hex → the
+    # decode-error containment path gets exercised constantly here
+    batch = to_arrow(docs).combine_chunks().to_batches()[0]
+    res = _process_batch(batch, with_images).to_pylist()
+    assert len(res) == len(docs)
+    for r in res:
+        g = oracle.extract_document(r["doc_id"], dict(docs)[r["doc_id"]], with_images)
+        assert _tuples(r["out_spans"]) == [
+            (s.kind, s.text, s.media_ref, s.order) for s in g.out_spans
+        ], r["doc_id"]
+        assert r["success"] == g.success and r["error"] == g.error
+        assert r["method"] == g.method
+
+
+CELL = st.one_of(
+    st.text(max_size=130),
+    st.integers(-10**12, 10**12).map(str),
+    st.floats(allow_nan=False, allow_infinity=False, width=32).map(repr),
+    st.sampled_from(["", "nan", "inf", "-inf", "1e3", "0.0", "-0.0",
+                     "2024-01-02T03:04:05", "2024-13-99T99:99:99", "1.", ".5",
+                     "a|b|c", "x" * 101, "+7", "-0", "  3  "]),
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(CELL, min_size=1, max_size=30))
+def test_cell_formatting_matches_oracle(cells):
+    import pandas as pd
+
+    got = format_cells(pd.Series(cells, dtype=object)).tolist()
+    exp = [oracle.format_cell(c) for c in cells]
+    assert got == exp
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.fixed_dictionaries({"kind": st.just("page_break"),
+                                   "text": st.just(""),
+                                   "media_ref": st.just(""),
+                                   "offset": st.integers(0, 30)}),
+            st.fixed_dictionaries({"kind": st.sampled_from(["text", "heading", "image"]),
+                                   "text": TEXT,
+                                   "media_ref": st.text(max_size=8),
+                                   "offset": st.integers(0, 30)}),
+        ),
+        min_size=1, max_size=15,
+    ),
+    st.sets(st.integers(1, 6), min_size=1, max_size=3),
+)
+def test_page_selection_matches_oracle(spans, pages):
+    sel = frozenset(pages)
+    g = oracle.extract_document("d", spans, pages=sel)
+    batch = to_arrow([("d", spans)]).combine_chunks().to_batches()[0]
+    k = _process_batch(batch, True, sel).to_pylist()[0]
+    assert _tuples(k["out_spans"]) == [
+        (s.kind, s.text, s.media_ref, s.order) for s in g.out_spans
+    ]
+    assert k["success"] == g.success and k["error"] == g.error
