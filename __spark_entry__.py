@@ -27,18 +27,67 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _spanify(docs: DataFrame) -> DataFrame:
-    """Lift the flat driver documents table into the engine's span shape."""
-    return docs.select(
-        F.col("doc_id").cast("string").alias("doc_id"),
-        F.array(
-            F.struct(
-                F.lit("text").alias("kind"),
-                F.col("text").alias("text"),
-                F.lit("").alias("media_ref"),
-                F.lit(0).cast("int").alias("offset"),
-            )
-        ).alias("spans"),
+    """Lift the flat driver documents table into the engine's span shape,
+    deterministically fanning docs across the format routes (doc_id mod 5)
+    so the flagship exercises every extraction path: plain text, markdown,
+    HTML, sheet, paged."""
+
+    def span(kind, text, media_ref, offset):
+        return F.struct(
+            kind.alias("kind"),
+            text.alias("text"),
+            media_ref.alias("media_ref"),
+            offset.cast("int").alias("offset"),
+        )
+
+    route = F.col("doc_id") % 5
+    txt = F.col("text")
+    empty = F.lit("")
+    spans = (
+        F.when(
+            route == 1,  # markdown: heading sniffed from '# ' prefix
+            F.array(span(F.lit("text"), F.concat(F.lit("# "), txt), empty, F.lit(0))),
+        )
+        .when(
+            route == 2,  # html: boilerplate-wrapped paragraph
+            F.array(
+                span(
+                    F.lit("html"),
+                    F.concat(
+                        F.lit('<nav><a href="/">home</a></nav><p>'),
+                        txt,
+                        F.lit("</p><footer>c</footer>"),
+                    ),
+                    empty,
+                    F.lit(0),
+                )
+            ),
+        )
+        .when(
+            route == 3,  # sheet: two table rows from text fragments
+            F.array(
+                span(F.lit("table_row"),
+                     F.concat_ws("\x1f", F.substring(txt, 1, 20),
+                                 F.col("lang"), F.col("source")),
+                     empty, F.lit(0)),
+                span(F.lit("table_row"),
+                     F.concat_ws("\x1f", F.substring(txt, 21, 20),
+                                 F.col("n_chars").cast("string")),
+                     empty, F.lit(1)),
+            ),
+        )
+        .when(
+            route == 4,  # paged: two pages split mid-text
+            F.array(
+                span(F.lit("text"), F.substring(txt, 1, 40), empty, F.lit(0)),
+                span(F.lit("page_break"), empty, empty, F.lit(1)),
+                span(F.lit("text"), F.substring(txt, 41, 10_000), empty, F.lit(2)),
+            ),
+        )
+        .otherwise(F.array(span(F.lit("text"), txt, empty, F.lit(0))))
     )
+    return docs.select(F.col("doc_id").cast("string").alias("doc_id"),
+                       spans.alias("spans"))
 
 
 # ---------------------------------------------------------------------------
