@@ -207,8 +207,21 @@ def _process_batch(
         doc_any(m) for m in (is_html, is_tr, is_pb, is_by, is_texty, is_known)
     )
 
-    raw_trim = pc.utf8_trim_whitespace(text_a)
-    raw_nonempty = pc.not_equal(raw_trim, "").to_numpy(zero_copy_only=False)
+    # string passes run on the TEXTY SUBSET only (text/heading spans) —
+    # html/table_row/page_break/bytes spans never need trimming or image
+    # rewriting, and skipping them cuts the dominant memory traffic
+    texty_pos = np.nonzero(is_texty)[0]
+    inv = np.full(n_spans, -1, dtype=np.int64)
+    inv[texty_pos] = np.arange(len(texty_pos))
+    raw_sub = pc.take(text_a, pa.array(texty_pos))
+    texty_trim = pc.utf8_trim_whitespace(raw_sub)  # SOURCE: raw trimmed
+    texty_trim_ne = (
+        pc.not_equal(texty_trim, "").to_numpy(zero_copy_only=False)
+        if len(texty_pos)
+        else np.empty(0, dtype=bool)
+    )
+    raw_nonempty = np.zeros(n_spans, dtype=bool)
+    raw_nonempty[texty_pos] = texty_trim_ne
 
     texty_ne = np.nonzero(is_texty & raw_nonempty)[0]
     firsts = _first_index_per_group(di, texty_ne)
@@ -217,7 +230,7 @@ def _process_batch(
         fidx = np.fromiter(firsts.values(), dtype=np.int64)
         fdocs = np.fromiter(firsts.keys(), dtype=np.int64)
         md_match = pc.match_substring_regex(
-            pc.take(raw_trim, pa.array(fidx)), _MD_HEADER_RE
+            pc.take(texty_trim, pa.array(inv[fidx])), _MD_HEADER_RE
         ).to_numpy(zero_copy_only=False)
         is_md_doc[fdocs[md_match]] = True
 
@@ -233,9 +246,49 @@ def _process_batch(
 
     span_fmt = fmt[di] if n_spans else np.empty(0, dtype=fmt.dtype)
 
-    # ---- transformed text (image keep/strip) ------------------------------
-    trans_trim = pc.utf8_trim_whitespace(_transform_text(text_a, with_images))
-    trans_nonempty = pc.not_equal(trans_trim, "").to_numpy(zero_copy_only=False)
+    # ---- transformed text (image keep/strip) -------------------------------
+    # keep mode: the imgs/ prefix rewrite only touches spans that actually
+    # contain "imgs/" — match once (one scan), rewrite just that sliver, and
+    # let every other span alias the raw trimmed source (zero extra copies).
+    n_texty = len(texty_pos)
+    trans_local = np.full(n_texty, -1, dtype=np.int64)  # idx into trans_table
+    if with_images:
+        if n_texty:
+            matched_sub = pc.match_substring(raw_sub, "imgs/").to_numpy(
+                zero_copy_only=False
+            )
+        else:
+            matched_sub = np.empty(0, dtype=bool)
+        m_idx = np.nonzero(matched_sub)[0]
+        if len(m_idx):
+            trans_table = pc.utf8_trim_whitespace(
+                _transform_text(pc.take(raw_sub, pa.array(m_idx)), True)
+            )
+            trans_local[m_idx] = np.arange(len(m_idx))
+            eff_ne = texty_trim_ne.copy()
+            eff_ne[m_idx] = pc.not_equal(trans_table, "").to_numpy(
+                zero_copy_only=False
+            )
+        else:
+            trans_table = pa.array([], pa.string())
+            eff_ne = texty_trim_ne
+    else:
+        trans_table = _transform_text(raw_sub, False)  # strip mode trims
+        trans_local = np.arange(n_texty, dtype=np.int64)
+        eff_ne = (
+            pc.not_equal(trans_table, "").to_numpy(zero_copy_only=False)
+            if n_texty
+            else np.empty(0, dtype=bool)
+        )
+    trans_nonempty = np.zeros(n_spans, dtype=bool)
+    trans_nonempty[texty_pos] = eff_ne
+
+    def texty_sources(pos: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(ref, raw_ref) for texty global positions: transformed spans point
+        into trans_table, untouched spans alias the raw trimmed source."""
+        li = inv[pos]
+        tl = trans_local[li]
+        return np.where(tl >= 0, tl, -1), np.where(tl >= 0, -1, li)
 
     em = _Emissions()
     doc_ids_py: list[str] | None = None  # lazy; needed for wrap headings
@@ -270,7 +323,8 @@ def _process_batch(
             ((span_fmt == "text") | (span_fmt == "bytes_text"))
             & is_texty & trans_nonempty
         )[0]
-        em.add(di[body], seq[body], K_TEXT, ref=body)
+        refs, raws = texty_sources(body)
+        em.add(di[body], seq[body], K_TEXT, ref=refs, raw_ref=raws)
         if len(bytes_pos):
             bsel = np.nonzero(dec_nonempty)[0]
             keep = bytes_pos[bsel]
@@ -281,11 +335,22 @@ def _process_batch(
     # ---- markdown passthrough (SPANS.md §3.2) -------------------------------
     md_body = np.nonzero((span_fmt == "markdown") & is_texty & trans_nonempty)[0]
     if len(md_body):
-        is_hdr = pc.match_substring_regex(
-            pc.take(trans_trim, pa.array(md_body)), _MD_HEADER_RE
-        ).to_numpy(zero_copy_only=False)
+        li = inv[md_body]
+        tl = trans_local[li]
+        eff = pc.take(texty_trim, pa.array(li))
+        sel = tl >= 0
+        if sel.any():
+            eff = pc.if_else(
+                pa.array(sel),
+                pc.take(trans_table, pa.array(np.where(sel, tl, 0))),
+                eff,
+            )
+        is_hdr = pc.match_substring_regex(eff, _MD_HEADER_RE).to_numpy(
+            zero_copy_only=False
+        )
         em.add(di[md_body], seq[md_body],
-               np.where(is_hdr, K_HEADING, K_TEXT).astype(np.int8), ref=md_body)
+               np.where(is_hdr, K_HEADING, K_TEXT).astype(np.int8),
+               ref=np.where(sel, tl, -1), raw_ref=np.where(sel, -1, li))
 
     # ---- paged assembly (SPANS.md §3.4) -------------------------------------
     paged_span = span_fmt == "paged"
@@ -324,8 +389,11 @@ def _process_batch(
             em.add(di[hdr_rows], seq[hdr_rows] - 0.5, K_HEADING, gen_idx=hdr_gen)
             hsel = np.isin(body, ph)
             tsel = np.isin(body, ptx)
-            em.add(di[body[hsel]], seq[body[hsel]], K_HEADING, raw_ref=body[hsel])
-            em.add(di[body[tsel]], seq[body[tsel]], K_TEXT, ref=body[tsel])
+            hrows = body[hsel]
+            em.add(di[hrows], seq[hrows], K_HEADING, raw_ref=inv[hrows])
+            trows = body[tsel]
+            refs, raws = texty_sources(trows)
+            em.add(di[trows], seq[trows], K_TEXT, ref=refs, raw_ref=raws)
             if with_images:
                 isel = ~(hsel | tsel)
                 irows = body[isel]
@@ -467,13 +535,15 @@ def _process_batch(
     order = (np.arange(len(E_di)) - np.repeat(offsets64[:-1], counts)).astype(np.int32)
 
     gen_arr = pa.array(em.gen_strings, pa.string())
+    trans_src = trans_table if len(trans_table) else pa.array([""], pa.string())
+    raw_src = texty_trim if len(texty_trim) else pa.array([""], pa.string())
     # text: gen > decoded(ref<=-2) > raw_ref > transformed ref
     safe_ref = np.where(E_ref >= 0, E_ref, 0)
-    text_final = pc.take(trans_trim, pa.array(safe_ref))
+    text_final = pc.take(trans_src, pa.array(safe_ref))
     if (E_raw >= 0).any():
         text_final = pc.if_else(
             pa.array(E_raw >= 0),
-            pc.take(raw_trim, pa.array(np.where(E_raw >= 0, E_raw, 0))),
+            pc.take(raw_src, pa.array(np.where(E_raw >= 0, E_raw, 0))),
             text_final,
         )
     dec_sel = E_ref <= -2
