@@ -112,7 +112,7 @@ def main() -> int:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 200000
     repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 2
 
-    cache = "/tmp/ocr_toolkit_bench"
+    cache = os.environ.get("SPARK_GRAFT_BENCH_CACHE", "/dev/shm/ocr_toolkit_bench")
     os.makedirs(cache, exist_ok=True)
     corpus = os.path.join(cache, f"scaling_{n_docs}.parquet")
     if not os.path.exists(corpus):

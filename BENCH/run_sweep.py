@@ -29,7 +29,7 @@ def main() -> int:
     from ocr_toolkit_spark.pipeline import salt_oversized
     from ocr_toolkit_spark.session import get_spark
 
-    cache = "/tmp/ocr_toolkit_bench"
+    cache = os.environ.get("SPARK_GRAFT_BENCH_CACHE", "/dev/shm/ocr_toolkit_bench")
     os.makedirs(cache, exist_ok=True)
     corpus = os.path.join(cache, f"sweep_{n_docs}.parquet")
     if not os.path.exists(corpus):

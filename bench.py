@@ -43,7 +43,7 @@ def _sf_from_dir(sf_dir: str) -> float:
 
 
 def _corpus_path(sf: float, n_docs: int) -> str:
-    cache = os.environ.get("SPARK_GRAFT_BENCH_CACHE", "/tmp/ocr_toolkit_bench")
+    cache = os.environ.get("SPARK_GRAFT_BENCH_CACHE", "/dev/shm/ocr_toolkit_bench")
     os.makedirs(cache, exist_ok=True)
     path = os.path.join(cache, f"spans_sf{sf}_{n_docs}.parquet")
     if not os.path.exists(path):

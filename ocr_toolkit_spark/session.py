@@ -13,7 +13,12 @@ import os
 from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = 32
-ARROW_MAX_RECORDS = 1024  # docs per Arrow batch into the extract stage
+# docs per Arrow batch into the extract stage. 512 measured best end-to-end:
+# the JVM-side Arrow→row conversion of the returned span column allocates
+# per batch, and smaller batches keep GC pressure off the critical path at
+# high core counts (1024 → 2x slower at local[32]); below ~512 the per-batch
+# fixed costs dominate.
+ARROW_MAX_RECORDS = 512
 
 
 def _pin_blas_threads() -> None:
