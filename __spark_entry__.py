@@ -435,6 +435,15 @@ def q_lsh_topk(spark, sf_dir):
     return lsh_topk(e, e.filter(F.col("vec_id") < 5), dim=dim, k=3, n_bits=6)
 
 
+def q_ivf_topk(spark, sf_dir):
+    from ocr_toolkit_spark.operators.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    dim = len(e.select("embedding").first()[0])
+    return ivf_topk(e, e.filter(F.col("vec_id") < 5), dim=dim, k=3,
+                    n_centroids=16, n_probe=4)
+
+
 def q_embedding_near_dups(spark, sf_dir):
     from ocr_toolkit_spark.operators.similarity import embedding_near_dups
 
@@ -494,6 +503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup": q_minhash_dedup,
         "simhash_dedup": q_simhash_dedup,
         "lsh_topk": q_lsh_topk,
+        "ivf_topk": q_ivf_topk,
         "embedding_near_dups": q_embedding_near_dups,
         "media_features": q_media_features,
     }

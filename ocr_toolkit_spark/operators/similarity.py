@@ -127,6 +127,111 @@ def lsh_topk(
     )
 
 
+def train_ivf_centroids(
+    vectors: DataFrame,
+    dim: int,
+    n_centroids: int = 64,
+    sample_size: int = 2048,
+    iters: int = 5,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """IVF coarse quantizer: spherical k-means on a deterministic sample.
+
+    Standard IVF practice — the quantizer trains on a small sample (driver-
+    side NumPy, seconds even for large k) and only the ASSIGNMENT pass is
+    distributed. Sample is orderBy(id).limit(n) → deterministic."""
+    sample = np.array(
+        [
+            r[0]
+            for r in vectors.select(vec_col)
+            .orderBy(id_col)
+            .limit(sample_size)
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    norms = np.linalg.norm(sample, axis=1, keepdims=True)
+    sample = sample / np.where(norms == 0, 1, norms)
+    rng = np.random.default_rng(seed)
+    centroids = sample[rng.choice(len(sample), size=n_centroids, replace=False)]
+    for _ in range(iters):
+        sims = sample @ centroids.T
+        assign = np.argmax(sims, axis=1)
+        for c in range(n_centroids):
+            members = sample[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    centroids[c] = m / n
+    return centroids
+
+
+def make_ivf_assigner(centroids: np.ndarray, n_probe: int = 1):
+    """cell-assignment UDF: top-`n_probe` nearest centroids by cosine,
+    returned as an array (vectors use n_probe=1; queries probe several)."""
+    cents = centroids.astype(np.float64)
+
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def assign(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        m = np.stack(vecs.to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        m = m / np.where(norms == 0, 1, norms)
+        sims = m @ cents.T  # one matmul per Arrow batch
+        top = np.argsort(-sims, axis=1)[:, :n_probe].astype(np.int32)
+        return pd.Series(list(top))
+
+    return assign
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_centroids: int = 64,
+    n_probe: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: inverted-file cells from a sampled spherical
+    k-means quantizer; queries probe their `n_probe` nearest cells; exact
+    cosine re-rank inside probed cells only (~n_probe/n_centroids of N)."""
+    centroids = train_ivf_centroids(
+        vectors, dim, n_centroids, seed=seed, id_col=id_col, vec_col=vec_col
+    )
+    v_assign = make_ivf_assigner(centroids, n_probe=1)
+    q_assign = make_ivf_assigner(centroids, n_probe=n_probe)
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("v_vec"),
+        F.explode(v_assign(F.col(vec_col))).alias("cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(q_assign(F.col(vec_col))).alias("cell"),
+    )
+    scored = (
+        v.join(F.broadcast(q), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", F.round(cosine(F.col("q_vec"), F.col("v_vec")), 6))
+        .select("query_id", "neighbor_id", "sim")
+        .distinct()  # a pair can meet in several probed cells
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
 def embedding_near_dups(
     vectors: DataFrame,
     dim: int,

@@ -93,6 +93,23 @@ class TestSimilarity:
         # near-identical vectors share every SRP bucket → neighbor 1 is found
         assert rows and rows[0].neighbor_id == 1
 
+    def test_ivf_recalls_nearest(self, spark, vectors):
+        from ocr_toolkit_spark.operators.similarity import ivf_topk
+
+        r = ivf_topk(vectors, vectors.filter("vec_id = 0"), dim=8, k=3,
+                     n_centroids=4, n_probe=4).collect()
+        # probing ALL cells makes IVF exhaustive → must find the near-copy
+        assert r and r[0].neighbor_id == 1 and r[0].sim > 0.99
+
+    def test_ivf_centroids_deterministic(self, spark, vectors):
+        import numpy as np
+
+        from ocr_toolkit_spark.operators.similarity import train_ivf_centroids
+
+        a = train_ivf_centroids(vectors, dim=8, n_centroids=4, sample_size=40)
+        b = train_ivf_centroids(vectors, dim=8, n_centroids=4, sample_size=40)
+        assert np.allclose(a, b)
+
     def test_embedding_near_dups(self, spark, vectors):
         from ocr_toolkit_spark.operators.similarity import embedding_near_dups
 
