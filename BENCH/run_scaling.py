@@ -31,7 +31,7 @@ LEVELS = (2, 8, 32)
 RUNNER = r"""
 import json, os, sys, time
 sys.path.insert(0, {repo!r})
-os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
+os.environ.setdefault("SPARK_DRIVER_MEMORY", "64g")
 from ocr_toolkit_spark.session import get_spark
 from ocr_toolkit_spark.operators.extract import extract_spans
 

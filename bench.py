@@ -62,6 +62,8 @@ def main() -> int:
     corpus = _corpus_path(sf, n_docs)
     corpus_bytes = os.path.getsize(corpus)
 
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "64g")
+
     from ocr_toolkit_spark.session import get_spark
 
     import __spark_entry__ as entrymod

@@ -27,6 +27,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--lineage", required=True, help="lineage table path")
     p.add_argument("--run-id", default=None)
     p.add_argument("--no-images", action="store_true", help="strip image spans")
+    p.add_argument("--pages", default=None,
+                   help='page selection for paged docs, e.g. "1-5,10" '
+                        "(reference --pages semantics)")
     p.add_argument("--buckets", type=int, default=64)
     p.add_argument("--salt-threshold", type=int, default=500)
     p.add_argument("--master", default=None)
@@ -45,6 +48,7 @@ def main(argv: list[str] | None = None) -> int:
         lineage_path=args.lineage,
         run_id=run_id,
         with_images=not args.no_images,
+        pages=args.pages,
         n_buckets=args.buckets,
         salt_threshold=args.salt_threshold,
     )

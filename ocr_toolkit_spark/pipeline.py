@@ -76,6 +76,7 @@ def run_extraction(
     lineage_path: str,
     run_id: str,
     with_images: bool = True,
+    pages: str | frozenset[int] | None = None,
     n_buckets: int = DEFAULT_BUCKETS,
     salt_threshold: int = DEFAULT_SALT_THRESHOLD,
     salt_k: int = DEFAULT_SALT_K,
@@ -94,7 +95,7 @@ def run_extraction(
     shuffle_n = parallelism or int(spark.conf.get("spark.sql.shuffle.partitions"))
     docs = docs.repartition(shuffle_n, "partition_id", "salt")
 
-    extracted = extract_spans(docs.select("doc_id", "spans"), with_images)
+    extracted = extract_spans(docs.select("doc_id", "spans"), with_images, pages)
     # partition_id is recomputed from doc_id (deterministic hash) rather than
     # threaded through the Arrow stage — keeps the UDF schema minimal
     out = with_partition_id(extracted, n_buckets)
