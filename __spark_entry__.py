@@ -225,6 +225,47 @@ def q_token_stats(spark, sf_dir):
     )
 
 
+def q_bpe_tokens(spark, sf_dir):
+    """BPE-ish pretoken counting (GPT-2-style pretokenizer shape) — the
+    training-data token estimator."""
+    from ocr_toolkit_spark.operators.textstats import bpe_pretoken_count
+
+    d = _docs(spark, sf_dir).withColumn("bpe", bpe_pretoken_count(F.col("text")))
+    return d.groupBy("source").agg(
+        F.sum("bpe").alias("total_pretokens"),
+        F.round(F.sum("bpe") / F.count("*"), 4).alias("avg_pretokens"),
+    )
+
+
+def q_grouping_sets(spark, sf_dir):
+    """GROUPING SETS aggregation over orders."""
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                (o_orderstatus, o_orderpriority))
+        """
+    )
+
+
+def q_corpus_qa(spark, sf_dir):
+    """Corpus QA: exact vs approximate distinct (HLL estimates differ across
+    engines → rows-only; the sanity bound is asserted in-query)."""
+    d = _docs(spark, sf_dir)
+    r = d.agg(
+        F.countDistinct("text").alias("exact_distinct"),
+        F.approx_count_distinct("text", 0.02).alias("approx_distinct"),
+    )
+    return r.withColumn(
+        "within_5pct",
+        (F.abs(F.col("approx_distinct") - F.col("exact_distinct"))
+         / F.col("exact_distinct")) <= 0.05,
+    )
+
+
 def q_lang_id(spark, sf_dir):
     from ocr_toolkit_spark.operators.textstats import lang_id
 
@@ -485,6 +526,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "normalized_dedup": q_normalized_dedup,
         "token_stats": q_token_stats,
+        "bpe_tokens": q_bpe_tokens,
+        "grouping_sets": q_grouping_sets,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "shingle_stats": q_shingle_stats,
@@ -504,6 +547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dedup": q_simhash_dedup,
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
+        "corpus_qa": q_corpus_qa,
         "embedding_near_dups": q_embedding_near_dups,
         "media_features": q_media_features,
     }
@@ -618,6 +662,20 @@ def oracle_sql() -> dict[str, str]:
                    sum(length(regexp_extract_all(text, '\\w+'))) AS total_tokens,
                    round(sum(length(regexp_extract_all(text, '\\w+')))*1.0/count(*), 4) AS avg_tokens
             FROM documents GROUP BY lang
+        """,
+        "bpe_tokens": """
+            SELECT source,
+                   sum(length(regexp_extract_all(text,
+                     '''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+'))) AS total_pretokens,
+                   round(sum(length(regexp_extract_all(text,
+                     '''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+')))*1.0/count(*), 4) AS avg_pretokens
+            FROM documents GROUP BY source
+        """,
+        "grouping_sets": """
+            SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                    (o_orderstatus, o_orderpriority))
         """,
         "lang_id": """
             SELECT lang,

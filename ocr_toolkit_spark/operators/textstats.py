@@ -101,8 +101,20 @@ def lang_id(t: Column) -> Column:
 
 
 def token_count(t: Column) -> Column:
-    """Word-regex token model (`\\w+`), the whitespace/BPE-ish counter."""
+    """Word-regex token model (`\\w+`) — the simple whitespace-ish counter."""
     return F.regexp_count(t, F.lit(r"\w+"))
+
+
+# GPT-2-style pretokenizer shape (public: contractions, letter runs, number
+# runs, punctuation runs, whitespace runs) restricted to RE2-compatible
+# syntax so the DuckDB oracle computes the identical count.
+BPE_PRETOKEN_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+
+def bpe_pretoken_count(t: Column) -> Column:
+    """BPE-ish pretoken count: how many pieces a GPT-2-style pretokenizer
+    would hand to the merge table — the training-data token estimator."""
+    return F.regexp_count(t, F.lit(BPE_PRETOKEN_PATTERN))
 
 
 def fingerprint(t: Column) -> Column:
