@@ -47,6 +47,23 @@ def test_engine_matches_checked_in_golden():
         assert r["method"] == g["method"] and r["n_chars"] == g["n_chars"]
 
 
+def test_engine_matches_strip_mode_golden():
+    docs = generate_documents(300, 42)
+    spans = pq.read_table(
+        os.path.join(GOLDEN_DIR, "expected_spans_seed42_noimages.parquet")
+    ).to_pylist()
+    golden: dict[str, list] = {}
+    for s in spans:
+        golden.setdefault(s["doc_id"], []).append(
+            (s["kind"], s["text"], s["media_ref"], s["order"]))
+    batch = to_arrow(docs).combine_chunks().to_batches()[0]
+    for r in _process_batch(batch, False).to_pylist():
+        eng = [(s["kind"], s["text"], s["media_ref"], s["order"])
+               for s in r["out_spans"]]
+        assert eng == sorted(golden.get(r["doc_id"], []), key=lambda t: t[3]), (
+            r["doc_id"])
+
+
 def test_oracle_matches_checked_in_golden():
     docs = generate_documents(300, 42)
     golden_spans, golden_meta = _load_golden()

@@ -20,10 +20,22 @@ KINDS = st.sampled_from(
      "mystery", ""]
 )
 
+HEXISH = st.one_of(
+    st.sampled_from([
+        "68656c6c6f",                      # valid utf-8 'hello'
+        "d6d0cec4".upper(),                # gbk '中文' (upper-hex)
+        "fffe8140ffff",                    # undecodable either way
+        " 414243 ",                        # whitespace-padded hex
+        "zznothex",
+        "",
+    ]),
+    st.binary(max_size=12).map(lambda b: b.hex()),
+)
+
 SPAN = st.fixed_dictionaries(
     {
         "kind": KINDS,
-        "text": st.one_of(st.none(), TEXT),
+        "text": st.one_of(st.none(), TEXT, HEXISH),
         "media_ref": st.one_of(st.none(), st.text(max_size=20)),
         "offset": st.one_of(st.none(), st.integers(-5, 50)),
     }
