@@ -618,7 +618,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1
         """,
         "stats_by_lang": """
-            SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+            SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
                    round(sum(n_chars)*1.0/count(*), 4) AS avg_chars,
                    min(n_chars) AS min_chars, max(n_chars) AS max_chars
             FROM documents GROUP BY lang
@@ -654,19 +654,19 @@ def oracle_sql() -> dict[str, str]:
                      count(*) AS c
               FROM documents GROUP BY 1)
             SELECT count(*) AS n_groups,
-                   sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS docs_in_dup_groups
+                   CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS docs_in_dup_groups
             FROM g
         """,
         "token_stats": """
             SELECT lang,
-                   sum(length(regexp_extract_all(text, '\\w+'))) AS total_tokens,
+                   CAST(sum(length(regexp_extract_all(text, '\\w+'))) AS BIGINT) AS total_tokens,
                    round(sum(length(regexp_extract_all(text, '\\w+')))*1.0/count(*), 4) AS avg_tokens
             FROM documents GROUP BY lang
         """,
         "bpe_tokens": """
             SELECT source,
-                   sum(length(regexp_extract_all(text,
-                     '''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+'))) AS total_pretokens,
+                   CAST(sum(length(regexp_extract_all(text,
+                     '''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+'))) AS BIGINT) AS total_pretokens,
                    round(sum(length(regexp_extract_all(text,
                      '''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+')))*1.0/count(*), 4) AS avg_pretokens
             FROM documents GROUP BY source

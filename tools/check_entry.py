@@ -13,19 +13,22 @@ import time
 sys.path.insert(0, ".")
 
 
-def canon(rows, cols):
+def canon(rows, cols, tolerant: bool):
+    """tolerant=False emulates the driver's exact-representation value hash:
+    values are stringified as-is (so DuckDB HUGEINT->float64 '13917.0' vs
+    Spark bigint '13917' is a FAIL, exactly like the driver).  tolerant=True
+    is the old numeric-equality compare, used only to label a failure as
+    'representation-only' vs 'wrong values'."""
     out = []
     for r in rows:
         vals = []
         for c in sorted(cols):
             v = r[c]
-            if isinstance(v, decimal.Decimal):
-                v = float(v)
-            if isinstance(v, float):
-                if math.isnan(v):
-                    v = "nan"
-                else:
-                    v = round(v, 6)
+            if tolerant:
+                if isinstance(v, decimal.Decimal):
+                    v = float(v)
+                if isinstance(v, float):
+                    v = "nan" if math.isnan(v) else round(v, 6)
             vals.append((c, str(v)))
         out.append(tuple(vals))
     return sorted(out)
@@ -57,8 +60,9 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
-            srows = [r.asDict() for r in sdf.collect()]
-            scols = sdf.columns
+            spdf = sdf.toPandas()  # driver compares pandas frames
+            srows = spdf.to_dict("records")
+            scols = list(spdf.columns)
         except Exception as e:
             print(f"FAIL  {name}: spark error: {e}")
             failed.append(name)
@@ -70,9 +74,9 @@ def main() -> int:
                 print(f"      WARNING: zero rows")
             continue
         try:
-            drel = con.sql(oq[name])
-            dcols = drel.columns
-            drows = [dict(zip(dcols, row)) for row in drel.fetchall()]
+            dpdf = con.sql(oq[name]).df()  # pandas path: HUGEINT -> float64, like the driver
+            dcols = list(dpdf.columns)
+            drows = dpdf.to_dict("records")
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
             failed.append(name)
@@ -81,14 +85,17 @@ def main() -> int:
             print(f"FAIL  {name}: cols {sorted(scols)} vs {sorted(dcols)}")
             failed.append(name)
             continue
-        a, b = canon(srows, scols), canon(drows, dcols)
+        a, b = canon(srows, scols, False), canon(drows, dcols, False)
         if len(a) != len(b):
             print(f"FAIL  {name}: rowcount {len(a)} vs {len(b)}")
             failed.append(name)
             continue
         if a != b:
+            ta, tb = canon(srows, scols, True), canon(drows, dcols, True)
+            kind = "REPR-ONLY (values equal, stringification differs — driver hash WILL fail)" \
+                if ta == tb else "VALUE MISMATCH"
             diffs = [(x, y) for x, y in zip(a, b) if x != y]
-            print(f"FAIL  {name}: {len(diffs)} differing rows; first: ")
+            print(f"FAIL  {name}: {kind}; {len(diffs)} differing rows; first:")
             print("   spark:", diffs[0][0])
             print("   duck :", diffs[0][1])
             failed.append(name)
