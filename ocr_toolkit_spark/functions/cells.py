@@ -16,10 +16,19 @@ _INT = r"^[+-]?\d+$"
 _FLOAT = r"^[+-]?(\d+\.\d*|\.\d+|\d+\.)([eE][+-]?\d+)?$|^[+-]?\d+[eE][+-]?\d+$"
 
 
-def format_cells(cells: pd.Series) -> pd.Series:
-    """Format a Series of raw cell strings per the reference rules."""
+def format_cells(cells: pd.Series) -> tuple[pd.Series, np.ndarray]:
+    """Format a Series of raw cell strings per the reference rules.
+
+    Returns (formatted, nonfinite_mask).  A cell like '1e999' matches the
+    float regex but floats to ±inf; the oracle's per-cell str(int(x)) raises
+    OverflowError there, which its per-doc containment turns into an error
+    row.  The vectorized kernel must not let one such cell fail the whole
+    Spark task, so those cells pass through unformatted and are flagged in
+    nonfinite_mask — the caller marks the owning documents as error rows
+    with the oracle's exact message."""
     s = cells.fillna("").astype(str)
     out = s.copy()
+    nonfinite = np.zeros(len(s), dtype=bool)
 
     empty = s.eq("")
     is_dt = ~empty & s.str.match(_ISO_DT)
@@ -32,8 +41,11 @@ def format_cells(cells: pd.Series) -> pd.Series:
     # int literals render unchanged (str(int(x)) round-trips)
     if is_float.any():
         f = s[is_float].astype(float)
-        whole = f == np.trunc(f)
-        rendered = f.map("{:.2f}".format)
+        finite = np.isfinite(f.to_numpy())
+        nonfinite[is_float.to_numpy()] = ~finite
+        whole = (f == np.trunc(f)) & finite
+        rendered = s[is_float].copy()  # non-finite cells pass through raw
+        rendered[finite] = f[finite].map("{:.2f}".format)
         # python int conversion, not astype(int64): whole floats beyond
         # ±2^63 must render exactly like the oracle's str(int(x))
         rendered[whole] = f[whole].map(lambda v: str(int(v)))
@@ -43,4 +55,4 @@ def format_cells(cells: pd.Series) -> pd.Series:
         long = t.str.len() > 100
         t[long] = t[long].str.slice(0, 97) + "..."
         out[is_str] = t
-    return out
+    return out, nonfinite

@@ -90,7 +90,9 @@ def extract_blocks(html: str) -> list[HtmlBlock]:
                     k += 1
                 name = tok[j:k].lower()
             else:
-                name = ""
+                # unnamed token (<?pi?>, <!DOCTYPE>, <123>): not a tag —
+                # must NOT count toward tag density (oracle.py skips these)
+                continue
             if name in BLOCK_TAGS:
                 if name in BOILER_CONTAINERS:
                     if closing:

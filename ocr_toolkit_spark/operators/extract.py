@@ -421,9 +421,20 @@ def _process_batch(
             flat_cells = pd.Series(
                 [c for cl in cell_lists for c in cl], dtype=object
             )
-            fmt_flat = format_cells(flat_cells).to_numpy(dtype=object)
-            cuts = np.cumsum([len(cl) for cl in cell_lists])[:-1]
+            formatted, nonfinite = format_cells(flat_cells)
+            fmt_flat = formatted.to_numpy(dtype=object)
+            lens = np.array([len(cl) for cl in cell_lists])
+            cuts = np.cumsum(lens)[:-1]
             fmt_lists = [a.tolist() for a in np.split(fmt_flat, cuts)]
+            if nonfinite.any():
+                # per-doc containment (SPANS.md §4): the oracle's
+                # format_cell raises OverflowError on ±inf and
+                # extract_document turns that into an error row — mirror
+                # the exact message, never fail the task.
+                flat_doc = np.repeat(s_di[row_mask], lens)
+                errors[np.unique(flat_doc[nonfinite])] = (
+                    "OverflowError: cannot convert float infinity to integer"
+                )
         else:
             fmt_lists = []
         # per-doc sheet segmentation (loop over sheet spans only)

@@ -153,6 +153,22 @@ class TestHtml:
                                            "media_ref": "", "offset": 0}])
         assert r.out_spans == []
 
+    def test_unnamed_tags_not_counted_as_tags(self):
+        """ADVICE r1 (medium): <?pi?> / <!DOCTYPE> / <123> are not tags —
+        neither oracle nor kernel may count them toward tag density.
+        10 PIs around a short-word block used to flip the kernel's keep
+        decision while the oracle kept it."""
+        from ocr_toolkit_spark.functions.html import extract_blocks
+
+        pis = "<?php noise ?>" * 10
+        html = f"<p>{pis}ten tiny words here to go over the length bar{pis}</p>"
+        r = oracle.extract_document("d", [{"kind": "html", "text": html,
+                                           "media_ref": "", "offset": 0}])
+        assert [s.text for s in r.out_spans] == [
+            "ten tiny words here to go over the length bar"]
+        kept = [b.text for b in extract_blocks(html) if b.kept]
+        assert kept == ["ten tiny words here to go over the length bar"]
+
     def test_script_and_entities(self):
         html = ("<p>safe &amp; sound, longer than the minimum length</p>"
                 "<script>ignored = '<p>junk</p>';</script>")

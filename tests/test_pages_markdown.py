@@ -13,8 +13,20 @@ class TestParsePages:
         assert parse_pages("1-3,5,7-8") == frozenset({1, 2, 3, 5, 7, 8})
         assert parse_pages("10") == frozenset({10})
         assert parse_pages("2-2") == frozenset({2})
+        # reference normalizes reversed ranges by swapping bounds
+        assert parse_pages("3-1") == frozenset({1, 2, 3})
+        # interior spaces are stripped like the reference's replace(" ", "")
+        assert parse_pages("1 - 3") == frozenset({1, 2, 3})
 
-    @pytest.mark.parametrize("bad", ["", "  ", "0", "-1", "3-1", "a", "1-b", ","])
+    def test_empty_means_no_selection(self):
+        # reference returns None for None/blank → process all pages
+        assert parse_pages(None) is None
+        assert parse_pages("") is None
+        assert parse_pages("  ") is None
+        # only-commas spec → empty selection (reference ParsedPages([]))
+        assert parse_pages(",") == frozenset()
+
+    @pytest.mark.parametrize("bad", ["0", "-1", "a", "1-b", "1-", "-"])
     def test_invalid(self, bad):
         with pytest.raises(ValueError):
             parse_pages(bad)

@@ -4,6 +4,7 @@ span soup, adversarial cell payloads, arbitrary page selections."""
 
 import string
 
+import pytest
 from hypothesis import given, settings, strategies as st
 
 from ocr_toolkit_spark import oracle
@@ -65,6 +66,29 @@ def test_kernel_equals_oracle_on_arbitrary_spans(span_docs, with_images):
         assert r["method"] == g.method
 
 
+def test_inf_cell_contained_per_doc():
+    """End-to-end: a sheet doc holding a '1e999' cell becomes an error row
+    with the oracle's exact message; sibling docs in the SAME batch are
+    unaffected (ADVICE r1 high: this used to kill the whole task)."""
+    sheet = lambda cell: [
+        {"kind": "heading", "text": "S1", "media_ref": "", "offset": 0},
+        {"kind": "table_row", "text": f"{cell}\x1fok", "media_ref": "", "offset": 1},
+    ]
+    docs = [("bad", sheet("1e999")), ("good", sheet("1.5")),
+            ("bad2", sheet("-1e999"))]
+    batch = to_arrow(docs).combine_chunks().to_batches()[0]
+    res = {r["doc_id"]: r for r in _process_batch(batch, True).to_pylist()}
+    for did, spans in docs:
+        g = oracle.extract_document(did, spans, True)
+        r = res[did]
+        assert r["success"] == g.success and r["error"] == g.error, did
+        assert _tuples(r["out_spans"]) == [
+            (s.kind, s.text, s.media_ref, s.order) for s in g.out_spans
+        ], did
+    assert not res["bad"]["success"] and res["good"]["success"]
+    assert "OverflowError" in res["bad"]["error"]
+
+
 CELL = st.one_of(
     st.text(max_size=130),
     st.integers(-10**12, 10**12).map(str),
@@ -80,9 +104,36 @@ CELL = st.one_of(
 def test_cell_formatting_matches_oracle(cells):
     import pandas as pd
 
-    got = format_cells(pd.Series(cells, dtype=object)).tolist()
-    exp = [oracle.format_cell(c) for c in cells]
-    assert got == exp
+    got, nonfinite = format_cells(pd.Series(cells, dtype=object))
+    for i, c in enumerate(cells):
+        if nonfinite[i]:
+            # kernel flags exactly the cells where the oracle raises
+            with pytest.raises(OverflowError):
+                oracle.format_cell(c)
+        else:
+            assert got.iloc[i] == oracle.format_cell(c)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(
+    st.sampled_from(["1e999", "-1e999", "1e400", "9" * 400 + ".0",
+                     "1.5", "7", "plain"]),
+    min_size=1, max_size=20,
+))
+def test_nonfinite_cells_flagged_not_raised(cells):
+    """ADVICE r1 (high): '1e999' floats to inf; str(int(inf)) used to raise
+    OverflowError inside the vectorized kernel and kill the whole task.
+    Now the kernel flags the cell and the caller emits a per-doc error row."""
+    import pandas as pd
+
+    got, nonfinite = format_cells(pd.Series(cells, dtype=object))
+    for i, c in enumerate(cells):
+        try:
+            oracle.format_cell(c)
+            oracle_raises = False
+        except OverflowError:
+            oracle_raises = True
+        assert nonfinite[i] == oracle_raises
 
 
 @settings(max_examples=40, deadline=None)
