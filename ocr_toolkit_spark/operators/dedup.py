@@ -26,6 +26,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
+from .skew import DEFAULT_MAX_BUCKET, star_capped_pairs
+
 
 # --- exact / normalized ------------------------------------------------------
 
@@ -113,9 +115,12 @@ def minhash_lsh_candidates(
     k: int = 5,
     n_hashes: int = 64,
     bands: int = 16,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) from banded MinHash buckets.
-    One shuffle to bucket (explode bands → join), never O(n²)."""
+    One shuffle to bucket (explode bands → join), never O(n²): buckets
+    above `max_bucket` members are star-linked to their representative
+    instead of all-paired (see operators/skew.py)."""
     rows_per_band = n_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, k, n_hashes)
     banded = sig.select(
@@ -131,16 +136,9 @@ def minhash_lsh_candidates(
             )
         ).alias("band", "band_hash"),
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        star_capped_pairs(banded, ["band", "band_hash"], "id",
+                          max_bucket=max_bucket)
         .distinct()
     )
 
@@ -174,25 +172,45 @@ def jaccard_verify(
 
 @pandas_udf(T.LongType())
 def simhash64(texts: pd.Series) -> pd.Series:
-    """64-bit SimHash over word tokens — Arrow-batched NumPy bit ops.
+    """64-bit SimHash over word tokens — fully batch-vectorized NumPy.
 
     Per doc: hash each token to 64 bits; signature bit i = sign of
-    sum over tokens of (bit_i ? +1 : -1).
-    """
-    out = np.zeros(len(texts), dtype=np.int64)
+    sum over tokens of (bit_i ? +1 : -1), i.e. bit set iff strictly more
+    than half the token hashes have the bit set.
+
+    No per-document Python loop: ONE flat hash_array over every token of
+    the batch, one (tokens × 64) uint8 bit matrix, and np.add.reduceat
+    at document boundaries for the per-doc bit votes (r1 review item #3 —
+    the old per-doc loop was the SimHash path's scale ceiling)."""
+    n = len(texts)
+    if n == 0:
+        return pd.Series(np.empty(0, dtype=np.int64))
+    token_lists = texts.fillna("").astype(str).str.lower().str.split()
+    lens = token_lists.str.len().to_numpy(dtype=np.int64)
+    out = np.zeros(n, dtype=np.int64)
+    total = int(lens.sum())
+    if total == 0:
+        return pd.Series(out)
+
+    flat = np.empty(total, dtype=object)
+    pos = 0
+    for toks in token_lists:  # list concat only — O(docs), no per-token work
+        ln = len(toks)
+        if ln:
+            flat[pos:pos + ln] = toks
+            pos += ln
+    hashes = pd.util.hash_array(flat).astype(np.uint64)
+
     bit_idx = np.arange(64, dtype=np.uint64)
-    for i, t in enumerate(texts):
-        if not t:
-            continue
-        toks = pd.util.hash_array(
-            pd.Series(str(t).lower().split(), dtype=object).to_numpy()
-        ).astype(np.uint64)
-        if len(toks) == 0:
-            continue
-        bits = (toks[:, None] >> bit_idx[None, :]) & np.uint64(1)
-        votes = bits.astype(np.int64) * 2 - 1
-        sig_bits = (votes.sum(axis=0) > 0).astype(np.uint64)
-        out[i] = (sig_bits << bit_idx).sum().astype(np.int64)
+    bits = ((hashes[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(np.uint8)
+    # reduceat over non-empty docs only (empty docs would alias neighbors)
+    nz = lens > 0
+    lens_nz = lens[nz]
+    starts = np.concatenate(([0], np.cumsum(lens_nz)[:-1]))
+    ones = np.add.reduceat(bits, starts, axis=0, dtype=np.int64)
+    sig_bits = ((2 * ones) > lens_nz[:, None]).astype(np.uint64)
+    packed = (sig_bits << bit_idx[None, :]).sum(axis=1, dtype=np.uint64)
+    out[nz] = packed.astype(np.int64)
     return pd.Series(out)
 
 
@@ -202,6 +220,7 @@ def simhash_near_dups(
     text_col: str = "text",
     max_hamming: int = 3,
     chunks: int = 4,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(sig) ≤ max_hamming.
 
@@ -209,6 +228,8 @@ def simhash_near_dups(
     any pair within distance < chunks must share at least one exact piece, so
     candidates come from equi-joins on (chunk_idx, chunk_value), then exact
     Hamming verification via bit_count(xor). Requires max_hamming < chunks.
+    Chunk buckets above `max_bucket` members are star-linked to their
+    representative instead of all-paired (operators/skew.py).
     """
     sig = df.select(
         F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sig")
@@ -229,22 +250,10 @@ def simhash_near_dups(
             )
         ).alias("chunk", "val"),
     )
-    a, b = pieces.alias("a"), pieces.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.val") == F.col("b.val"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
-        .distinct()
-    )
+    cand = star_capped_pairs(
+        pieces, ["chunk", "val"], "id", payload_cols=("sig",),
+        max_bucket=max_bucket,
+    ).distinct()
     return (
         cand.withColumn(
             "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))

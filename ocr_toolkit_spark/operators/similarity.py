@@ -22,6 +22,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
+from .skew import DEFAULT_MAX_BUCKET, star_capped_pairs
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -240,21 +242,22 @@ def embedding_near_dups(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via SRP bucket self-join +
-    exact verification (the embedding analog of MinHash-LSH dedup)."""
+    exact verification (the embedding analog of MinHash-LSH dedup).
+    Buckets above `max_bucket` members are star-linked to a representative
+    instead of all-paired (operators/skew.py)."""
     bucketer = make_srp_bucketer(dim, n_bits, seed)
     v = vectors.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
         bucketer(F.col(vec_col)).alias("bucket"),
     )
-    a, b = v.alias("a"), v.alias("b")
     return (
-        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
-        .withColumn("sim", cosine(F.col("a.vec"), F.col("b.vec")))
+        star_capped_pairs(v, ["bucket"], "id", payload_cols=("vec",),
+                          max_bucket=max_bucket)
+        .withColumn("sim", cosine(F.col("vec_a"), F.col("vec_b")))
         .filter(F.col("sim") >= threshold)
-        .select(
-            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), F.col("sim")
-        )
+        .select("id_a", "id_b", "sim")
     )

@@ -1,0 +1,94 @@
+"""Degenerate-bucket guard for LSH-family candidate self-joins.
+
+Every bucketed near-dup scheme here (MinHash bands, SimHash chunks, SRP
+embedding buckets) generates candidates with a self-equi-join on bucket
+keys.  That is the right 100-TB shape — EXCEPT when one bucket is
+degenerate: a boilerplate band shared by m documents yields m² pairs inside
+a single join key.  At web scale m can be millions, so one hot key melts
+the stage while every other task finishes in seconds (classic skew: AQE can
+split the partition, but not the m² row explosion itself).
+
+`star_capped_pairs` bounds this without losing the dedup semantics:
+
+- buckets with ≤ `max_bucket` members: ordinary all-pairs (id_a < id_b).
+- oversized buckets: every member pairs with the bucket's min-id
+  REPRESENTATIVE only — O(m) pairs instead of O(m²).  For duplicate
+  clustering this preserves the connected component (members stay linked
+  through the rep), and all pairs are still verified downstream (Jaccard /
+  Hamming / cosine), so precision is untouched.  The trade is recall of
+  *member↔member* links whose similarity to the rep falls below the verify
+  threshold — acceptable for degenerate buckets, which are overwhelmingly
+  boilerplate clones of one text.
+
+No driver-side counting: bucket sizes come from one hash aggregation on the
+same keys as the join (map-side partial agg), so the guard adds no new
+shuffle key.  Use `oversized_bucket_stats` to report what was starred —
+"no silent caps".
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_MAX_BUCKET = 256
+
+
+def star_capped_pairs(
+    df: DataFrame,
+    key_cols: list[str],
+    id_col: str = "id",
+    payload_cols: tuple[str, ...] = (),
+    max_bucket: int = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Candidate pairs (id_a < id_b) from a bucket self-join with the
+    oversized-bucket star guard.  Payload columns are carried through as
+    `<name>_a` / `<name>_b` (e.g. signatures for Hamming verification)."""
+    stats = df.groupBy(*key_cols).agg(
+        F.count("*").alias("_bucket_n"),
+        # min over (id, payload...) structs == the min-id row, payload intact
+        F.min(F.struct(id_col, *payload_cols)).alias("_rep"),
+    )
+    tagged = df.join(stats, key_cols)
+
+    small = tagged.filter(F.col("_bucket_n") <= max_bucket)
+    a, b = small.alias("a"), small.alias("b")
+    cond = reduce(
+        lambda x, y: x & y,
+        [F.col(f"a.{k}") == F.col(f"b.{k}") for k in key_cols],
+    ) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    pairs_small = a.join(b, cond).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        *[F.col(f"a.{p}").alias(f"{p}_a") for p in payload_cols],
+        *[F.col(f"b.{p}").alias(f"{p}_b") for p in payload_cols],
+    )
+
+    big = tagged.filter(
+        (F.col("_bucket_n") > max_bucket)
+        & (F.col(id_col) != F.col(f"_rep.{id_col}"))
+    )
+    pairs_big = big.select(
+        F.col(f"_rep.{id_col}").alias("id_a"),  # rep = min id → id_a < id_b
+        F.col(id_col).alias("id_b"),
+        *[F.col(f"_rep.{p}").alias(f"{p}_a") for p in payload_cols],
+        *[F.col(p).alias(f"{p}_b") for p in payload_cols],
+    )
+    return pairs_small.unionByName(pairs_big)
+
+
+def oversized_bucket_stats(
+    df: DataFrame, key_cols: list[str], max_bucket: int = DEFAULT_MAX_BUCKET
+) -> DataFrame:
+    """Report of buckets the guard starred: keys, member count, and the pair
+    count avoided (m·(m-1)/2 - (m-1)).  Run alongside the dedup job so capped
+    coverage is visible, never silent."""
+    n = F.col("n")
+    return (
+        df.groupBy(*key_cols)
+        .agg(F.count("*").alias("n"))
+        .filter(n > max_bucket)
+        .withColumn("pairs_avoided", (n * (n - 1) / 2 - (n - 1)).cast("long"))
+    )

@@ -65,6 +65,99 @@ class TestDedup:
         assert pairs.get((1, 2)) == 0
 
 
+class TestSkewGuard:
+    """r1 review item #3: a degenerate bucket (m boilerplate clones) must
+    not explode into m² pairs inside one join key."""
+
+    def test_star_cap_bounds_pairs_and_keeps_normal_recall(self, spark):
+        from ocr_toolkit_spark.operators.dedup import (
+            jaccard_verify, minhash_lsh_candidates)
+        from ocr_toolkit_spark.operators.skew import oversized_bucket_stats
+
+        m = 2000
+        boiler = [(i, "cookie banner accept all reject all manage preferences "
+                      "privacy policy terms of service") for i in range(m)]
+        normal = [
+            (10_001, "a perfectly normal document about spark adaptive execution"),
+            (10_002, "a perfectly normal document about spark adaptive execution!"),
+            (10_003, "something entirely different concerning iceberg manifests"),
+        ]
+        df = spark.createDataFrame(boiler + normal, "doc_id int, text string")
+        cand = minhash_lsh_candidates(df, k=3, n_hashes=32, bands=8,
+                                      max_bucket=50)
+        n_pairs = cand.count()
+        # uncapped, the boiler bucket alone is m(m-1)/2 ≈ 2.0M pairs;
+        # star-capped it is m-1 per band — assert well under the blow-up
+        assert n_pairs < 10 * m
+        pairs = {(r.id_a, r.id_b) for r in cand.collect()}
+        assert (10_001, 10_002) in pairs  # normal-bucket recall unchanged
+        # every boiler doc still reachable from the representative →
+        # connected component (and thus keep-first dedup) is preserved
+        linked = {b for a, b in pairs if a == 0} | {a for a, b in pairs if b == 0}
+        assert linked.issuperset(set(range(1, m)))
+        verified = jaccard_verify(cand, df, k=3, threshold=0.99)
+        assert verified.filter("id_a = 0").count() == m - 1
+        # the cap is reported, not silent
+        banded_stats = oversized_bucket_stats(
+            cand.sparkSession.createDataFrame(
+                [(1, i) for i in range(60)], "k int, id int"),
+            ["k"], max_bucket=50).collect()
+        assert banded_stats[0]["n"] == 60
+        assert banded_stats[0]["pairs_avoided"] == 60 * 59 // 2 - 59
+
+    def test_simhash_and_embedding_star_cap(self, spark):
+        from ocr_toolkit_spark.operators.dedup import simhash_near_dups
+        from ocr_toolkit_spark.operators.similarity import embedding_near_dups
+
+        m = 500
+        rows = [(i, "identical boilerplate text repeated everywhere") for i in range(m)]
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        pairs = simhash_near_dups(df, max_hamming=3, max_bucket=20)
+        # star shape: exactly m-1 pairs (rep 0 ↔ every other doc), not m(m-1)/2
+        assert pairs.count() == m - 1
+        assert pairs.filter("id_a = 0").count() == m - 1
+
+        vecs = spark.createDataFrame(
+            [(i, [1.0, 0.5, -0.25, 2.0]) for i in range(m)],
+            "vec_id int, embedding array<float>")
+        nd = embedding_near_dups(vecs, dim=4, threshold=0.99, n_bits=4,
+                                 max_bucket=20)
+        assert nd.count() == m - 1
+
+
+class TestSimhashVectorized:
+    def test_matches_per_doc_reference(self, spark):
+        """The batch-vectorized simhash64 must equal a straightforward
+        per-doc implementation (same token hash, same majority rule),
+        including empty / whitespace-only / null docs at batch edges."""
+        import numpy as np
+        import pandas as pd
+
+        texts = ["the quick brown fox", "", "  ", "the quick brown fox",
+                 "one", None, "a b c d e f g h i j k l", "中文 分词 测试", ""]
+
+        def slow(t):
+            if not t:
+                return 0
+            toks = str(t).lower().split()
+            if not toks:
+                return 0
+            h = pd.util.hash_array(np.array(toks, dtype=object)).astype(np.uint64)
+            bit_idx = np.arange(64, dtype=np.uint64)
+            bits = (h[:, None] >> bit_idx[None, :]) & np.uint64(1)
+            votes = bits.astype(np.int64) * 2 - 1
+            sig = (votes.sum(axis=0) > 0).astype(np.uint64)
+            return int((sig << bit_idx).sum().astype(np.int64))
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id int, text string")
+        from ocr_toolkit_spark.operators.dedup import simhash64
+        got = {r.doc_id: r.s for r in
+               df.select("doc_id", simhash64("text").alias("s")).collect()}
+        for i, t in enumerate(texts):
+            assert got[i] == slow(t), (i, t)
+
+
 class TestSimilarity:
     @pytest.fixture(scope="class")
     def vectors(self, spark):
