@@ -213,12 +213,17 @@ def sample_frames(df: DataFrame, every_ms: int = 1000,
 
 def join_media_to_spans(extracted: DataFrame, media: DataFrame) -> DataFrame:
     """Explode image spans out of extraction output and attach media rows —
-    the seam between the text pipeline and the media pipeline. Media dim is
-    usually the smaller side at a given batch → broadcast hint."""
+    the seam between the text pipeline and the media pipeline.
+
+    No broadcast hint (r1 review item #5): at pipeline scale the media table
+    is the BIG side — binary payloads dwarf the span rows — so forcing a
+    BroadcastExchange on it is a driver OOM at 100 TB.  A plain equi-join on
+    media_ref lets AQE pick BHJ when the media batch is actually small and
+    fall back to shuffle join (with skew splitting) when it is not."""
     img = (
         extracted.select("doc_id", F.explode("out_spans").alias("s"))
         .filter(F.col("s.kind") == "image")
         .select("doc_id", F.col("s.media_ref").alias("media_ref"),
                 F.col("s.order").alias("order"))
     )
-    return img.join(F.broadcast(media), "media_ref", "left")
+    return img.join(media, "media_ref", "left")

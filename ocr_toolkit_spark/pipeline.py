@@ -12,19 +12,38 @@ mechanics the reference lacks (SURVEY.md §2.5 E5 — no checkpointing there):
    span count exceeds a threshold get an explicit salt and the repartition is
    on (partition_id, salt) — heavy docs of one bucket spread across tasks.
 4. **Extract**: ONE Arrow-batched stage (operators/extract.py).
-5. **Commit**: dynamic-partition-overwrite data write, then lineage append
-   (doc/span/byte/failure counts per partition) — idempotent per partition.
+5. **Commit**: dynamic-partition-overwrite data write with run metrics
+   OBSERVED during the write (`Dataset.observe` — the Iceberg snapshot-
+   summary analog), then lineage append: per-partition rows (presence +
+   exact doc_count, from a doc_id-only pruned input scan) plus one
+   run-summary row (partition_id = -1) carrying doc/span/byte/failure
+   totals. The written output is never re-read — idempotent per partition.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from . import io as tio
 from .operators.extract import extract_spans
+
+# lineage row minus the commit timestamp (added via current_timestamp at
+# append time). span/byte/failure are NULL on per-partition rows and exact
+# on the run-summary row (partition_id = -1).
+LINEAGE_ROW_SCHEMA = T.StructType(
+    [
+        T.StructField("run_id", T.StringType(), False),
+        T.StructField("partition_id", T.IntegerType(), False),
+        T.StructField("doc_count", T.LongType(), False),
+        T.StructField("span_count", T.LongType(), True),
+        T.StructField("byte_count", T.LongType(), True),
+        T.StructField("failure_count", T.LongType(), True),
+    ]
+)
 
 DEFAULT_BUCKETS = 64
 # span-count threshold above which a document is considered oversized; the
@@ -38,6 +57,11 @@ class RunStats:
     run_id: str
     partitions_processed: int
     partitions_skipped: int
+    # run-level extraction metrics, observed during the write job itself
+    doc_count: int = 0
+    span_count: int = 0
+    byte_count: int = 0
+    failure_count: int = 0
 
 
 def with_partition_id(df: DataFrame, n_buckets: int = DEFAULT_BUCKETS) -> DataFrame:
@@ -50,7 +74,10 @@ def committed_partitions(spark: SparkSession, lineage_path: str) -> DataFrame | 
     lin = tio.read_lineage(spark, lineage_path)
     if lin is None:
         return None
-    return lin.select("partition_id").distinct()
+    # partition_id = -1 rows are run-summary records, not partitions
+    return (
+        lin.select("partition_id").where(F.col("partition_id") >= 0).distinct()
+    )
 
 
 def salt_oversized(
@@ -100,36 +127,59 @@ def run_extraction(
     # threaded through the Arrow stage — keeps the UDF schema minimal
     out = with_partition_id(extracted, n_buckets)
 
+    # Run-level extraction metrics are OBSERVED during the write job itself
+    # (the Iceberg snapshot-summary analog) — no second action ever touches
+    # the written output (r1 review item #6: the old post-write
+    # read_extracted + groupBy re-listed and re-read the output per run).
+    obs = Observation(f"extract-metrics-{run_id}")
+    out = out.observe(
+        obs,
+        F.count(F.lit(1)).alias("doc_count"),
+        F.sum("n_spans").cast("long").alias("span_count"),
+        F.sum("n_chars").cast("long").alias("byte_count"),
+        F.sum(F.when(~F.col("success"), 1).otherwise(0))
+        .cast("long")
+        .alias("failure_count"),
+    )
     tio.write_extracted(out, output_path)
+    m = obs.get  # already collected by the write action — zero extra jobs
 
-    result = tio.read_extracted(spark, output_path)
-    lineage = (
-        result.groupBy("partition_id")
-        .agg(
-            F.count("*").alias("doc_count"),
-            F.sum("n_spans").cast("long").alias("span_count"),
-            F.sum("n_chars").cast("long").alias("byte_count"),
-            F.sum(F.when(~F.col("success"), 1).otherwise(0))
-            .cast("long")
-            .alias("failure_count"),
-        )
-        .withColumn("run_id", F.lit(run_id))
-        .withColumn("committed_at", F.current_timestamp())
-        .select(
-            "run_id",
-            "partition_id",
-            "doc_count",
-            "span_count",
-            "byte_count",
-            "failure_count",
-            "committed_at",
+    # Per-partition lineage rows (the manifest analog): partition presence +
+    # exact doc_count from the PRE-extraction input — a doc_id-only pruned
+    # scan (partition_id is a function of doc_id). Extraction is strictly
+    # 1 doc → 1 row (error docs still produce rows), so input doc_count
+    # equals output doc_count. ≤ n_buckets rows → collected to the driver
+    # and appended as a local DataFrame; the lineage append reads nothing.
+    parts = sorted(
+        (int(r["partition_id"]), int(r["n"]))
+        for r in docs.groupBy("partition_id").agg(F.count("*").alias("n")).collect()
+    )
+    n_new = len(parts)
+    rows = [(run_id, pid, n, None, None, None) for pid, n in parts]
+    # run-summary record: partition_id = -1, full run metrics from observe
+    rows.append(
+        (
+            run_id,
+            -1,
+            int(m["doc_count"] or 0),
+            int(m["span_count"] or 0),
+            int(m["byte_count"] or 0),
+            int(m["failure_count"] or 0),
         )
     )
-    if done is not None:
-        lineage = lineage.join(F.broadcast(done), "partition_id", "left_anti")
-    n_new = lineage.count()
+    lineage = spark.createDataFrame(
+        rows, schema=LINEAGE_ROW_SCHEMA
+    ).withColumn("committed_at", F.current_timestamp())
     tio.append_lineage(lineage, lineage_path)
-    return RunStats(run_id=run_id, partitions_processed=n_new, partitions_skipped=skipped)
+    return RunStats(
+        run_id=run_id,
+        partitions_processed=n_new,
+        partitions_skipped=skipped,
+        doc_count=int(m["doc_count"] or 0),
+        span_count=int(m["span_count"] or 0),
+        byte_count=int(m["byte_count"] or 0),
+        failure_count=int(m["failure_count"] or 0),
+    )
 
 
 def render_markdown_col() -> "F.Column":

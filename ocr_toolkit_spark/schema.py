@@ -74,9 +74,10 @@ LINEAGE_SCHEMA = T.StructType(
         T.StructField("run_id", T.StringType(), False),
         T.StructField("partition_id", T.IntegerType(), False),
         T.StructField("doc_count", T.LongType(), False),
-        T.StructField("span_count", T.LongType(), False),
-        T.StructField("byte_count", T.LongType(), False),
-        T.StructField("failure_count", T.LongType(), False),
+        # NULL on per-partition rows; exact on the run-summary row (pid=-1)
+        T.StructField("span_count", T.LongType(), True),
+        T.StructField("byte_count", T.LongType(), True),
+        T.StructField("failure_count", T.LongType(), True),
         T.StructField("committed_at", T.TimestampType(), False),
     ]
 )

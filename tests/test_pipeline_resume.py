@@ -47,9 +47,30 @@ def test_resume_after_partial_commit(spark, tmpdir_path):
     assert result.count() == n_docs_in  # full coverage
     assert result.select("doc_id").distinct().count() == n_docs_in  # no dupes
 
+    # run-summary row (partition_id = -1): observed metrics must equal the
+    # truth recomputed from the written output — and must never be treated
+    # as a committed partition by the resume anti-join
+    lin_rows = tio.read_lineage(spark, lineage)
+    summary = lin_rows.filter("partition_id = -1 and run_id = 'resume-run'").collect()
+    assert len(summary) == 1
+    resumed = result.join(
+        lin_rows.filter("run_id = 'resume-run' and partition_id >= 0")
+        .select("partition_id"),
+        "partition_id",
+    )
+    truth = resumed.agg(
+        F.count("*").alias("d"), F.sum("n_spans").alias("s"),
+        F.sum("n_chars").alias("b"),
+        F.sum(F.when(~F.col("success"), 1).otherwise(0)).alias("f")).collect()[0]
+    assert summary[0]["doc_count"] == truth["d"] == stats.doc_count
+    assert summary[0]["span_count"] == truth["s"] == stats.span_count
+    assert summary[0]["byte_count"] == truth["b"] == stats.byte_count
+    assert summary[0]["failure_count"] == truth["f"] == stats.failure_count
+
     # second resume: everything committed → nothing to do, output unchanged
     stats2 = run_extraction(spark, corpus, out, lineage, run_id="noop-run")
     assert stats2.partitions_processed == 0
+    assert stats2.doc_count == 0
     assert result.count() == n_docs_in
 
 

@@ -70,6 +70,23 @@ def test_similarity_queries_broadcast(spark):
     assert_broadcast_join(out)
 
 
+def test_media_join_not_unconditionally_broadcast(spark, corpus_path):
+    """r1 review item #5: the media table (binary payloads) is the BIG side
+    at pipeline scale — join_media_to_spans must not carry a broadcast hint;
+    the optimized logical plan must show no ResolvedHint on the media side."""
+    from ocr_toolkit_spark.operators.extract import extract_spans
+    from ocr_toolkit_spark.operators.multimodal import join_media_to_spans
+
+    docs = spark.read.parquet(corpus_path)
+    extracted = extract_spans(docs)
+    media = spark.createDataFrame(
+        [("m0", b"\x00" * 8)], "media_ref string, payload binary")
+    joined = join_media_to_spans(extracted, media)
+    qe = joined._jdf.queryExecution()
+    assert "ResolvedHint" not in qe.analyzed().toString()
+    assert "strategy=broadcast" not in qe.optimizedPlan().toString()
+
+
 def test_no_row_python_udf_in_entry_queries(spark):
     """input_hint bans per-row Python: every entry query plan must be free of
     BatchEvalPython (row-at-a-time UDF execution)."""
