@@ -171,6 +171,43 @@ def q_method_selection(spark, sf_dir):
     ).agg(F.count("*").alias("n_docs"))
 
 
+def q_method_selection_full(spark, sf_dir):
+    """T11 complete (quality_evaluator.py:145-233): preference tables as
+    data, availability short-circuit, selection_reason. Deterministic
+    two-method scenario built from the documents table: markitdown content
+    = text (null every 13th doc, failed every 11th), ocr content = the
+    first half of the text (failed every 7th); file ext cycles through the
+    preference-table entries."""
+    from ocr_toolkit_spark.operators.textstats import compare_methods
+
+    d = _docs(spark, sf_dir)
+    five = F.col("doc_id") % 5
+    ext = (
+        F.when(five == 0, ".docx").when(five == 1, ".pdf")
+        .when(five == 2, ".jpg").when(five == 3, ".html")
+        .otherwise(".txt")
+    )
+    md_success = (F.col("doc_id") % 11) != 3
+    md_content = F.when((F.col("doc_id") % 13) == 5, F.lit(None)).otherwise(
+        F.col("text")
+    )
+    ocr_success = (F.col("doc_id") % 7) != 2
+    ocr_content = F.expr("left(text, CAST(floor(n_chars/2) AS INT))")
+    cols = compare_methods(
+        md_success, md_content, ocr_success, ocr_content, ext,
+        include_repeat_penalty=False,  # RE2/DuckDB twin limitation, as T10
+    )
+    return d.select(
+        "doc_id",
+        cols["chosen_method"].alias("chosen_method"),
+        cols["selection_reason"].alias("selection_reason"),
+        cols["markitdown_score"].alias("markitdown_score"),
+        cols["ocr_score"].alias("ocr_score"),
+        cols["markitdown_available"].alias("markitdown_available"),
+        cols["ocr_available"].alias("ocr_available"),
+    )
+
+
 def q_topk_docs(spark, sf_dir):
     """Top-k (orderBy+limit) — the slowest-docs report analog."""
     return (
@@ -521,6 +558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_by_lang": q_stats_by_lang,
         "quality_scores": q_quality_scores,
         "method_selection": q_method_selection,
+        "method_selection_full": q_method_selection_full,
         "topk_docs": q_topk_docs,
         "anti_join": q_anti_join,
         "exact_dedup": q_exact_dedup,
@@ -608,6 +646,23 @@ QUALIFY rank <= 3
 """
 
 
+def _f1(e: str) -> str:
+    """DuckDB snippet: one-decimal HALF_UP fixed-point format of a
+    non-negative double — must mirror compare_methods' fmt() exactly
+    (Java/C '%.1f' round .x5 boundaries differently; this rule does not)."""
+    i = f"CAST(floor(({e})*10+0.5) AS BIGINT)"
+    return f"(CAST({i} // 10 AS VARCHAR) || '.' || CAST({i} % 10 AS VARCHAR))"
+
+
+def _expand_f1(sql: str) -> str:
+    return (
+        sql.replace("{f1_md}", _f1("md_score"))
+        .replace("{f1_ocr}", _f1("ocr_score"))
+        .replace("{f1_md_diff}", _f1("md_score - ocr_score"))
+        .replace("{f1_ocr_diff}", _f1("ocr_score - md_score"))
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "dispatch_case": """
@@ -631,6 +686,70 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_docs
             FROM documents GROUP BY 1
         """,
+        "method_selection_full": _expand_f1("""
+            WITH base AS (
+              SELECT doc_id,
+                CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN '.docx' WHEN 1 THEN '.pdf'
+                     WHEN 2 THEN '.jpg' WHEN 3 THEN '.html' ELSE '.txt' END AS ext,
+                (doc_id % 11) != 3 AS md_ok,
+                CASE WHEN (doc_id % 13) = 5 THEN NULL ELSE text END AS md_tx,
+                (doc_id % 7) != 2 AS ocr_ok,
+                left(text, CAST(floor(n_chars/2) AS INT)) AS ocr_tx
+              FROM documents),
+            stacked AS (
+              SELECT doc_id, 'md' AS w, trim(md_tx) AS tx FROM base
+              UNION ALL
+              SELECT doc_id, 'ocr' AS w, trim(ocr_tx) AS tx FROM base),
+            q AS (
+              SELECT doc_id, w,
+                CASE WHEN tx IS NULL OR length(tx)=0 THEN 0.0 ELSE
+                  (least(length(tx)/1000.0,10.0)*10.0*0.3
+                   + least(least(length(regexp_extract_all(tx,'(?m)^#+\\s'))*5.0,30.0)
+                         + least(length(regexp_extract_all(tx,'(?m)^[-*•]\\s|^\\d+\\.\\s'))*2.0,20.0)
+                         + least((length(regexp_extract_all(tx,'\\n\\s*\\n'))+1)*1.0,20.0)
+                         + least(length(list_filter(string_split(tx,chr(10)),x->trim(x)!=''))*0.5,30.0),100.0)*0.4
+                   + least(length(list_distinct(string_split(replace(replace(lower(tx),' ',''),chr(10),''),'')))*2.0,100.0)*0.3)
+                  * (CASE WHEN length(regexp_extract_all(tx,'[^\\w\\s\\n.,!?;:()\\[\\]{}""-]'))*1.0/length(tx) > 0.05 THEN 0.9 ELSE 1.0 END)
+                  * (CASE WHEN length(regexp_extract_all(tx,'\\b\\w+\\b')) > 0
+                           AND length(regexp_extract_all(tx,'\\b\\w\\b'))*1.0/length(regexp_extract_all(tx,'\\b\\w+\\b')) > 0.3
+                          THEN 0.7 ELSE 1.0 END)
+                END AS ts
+              FROM stacked),
+            j AS (
+              SELECT b.doc_id,
+                COALESCE(b.md_ok AND b.md_tx IS NOT NULL AND length(b.md_tx) > 0, FALSE) AS md_avail,
+                COALESCE(b.ocr_ok AND b.ocr_tx IS NOT NULL AND length(b.ocr_tx) > 0, FALSE) AS ocr_avail,
+                qm.ts * CASE b.ext WHEN '.docx' THEN 1.3 WHEN '.pdf' THEN 0.8
+                                   WHEN '.html' THEN 1.2 ELSE 1.0 END AS md_raw,
+                qo.ts * CASE b.ext WHEN '.jpg' THEN 1.5 WHEN '.pdf' THEN 1.1
+                                   ELSE 1.0 END AS ocr_raw
+              FROM base b
+              JOIN q qm ON qm.doc_id = b.doc_id AND qm.w = 'md'
+              JOIN q qo ON qo.doc_id = b.doc_id AND qo.w = 'ocr'),
+            f AS (
+              SELECT doc_id, md_avail, ocr_avail,
+                CASE WHEN md_avail AND ocr_avail THEN floor(md_raw*10000 + 0.5)/10000.0 ELSE 0.0 END AS md_score,
+                CASE WHEN md_avail AND ocr_avail THEN floor(ocr_raw*10000 + 0.5)/10000.0 ELSE 0.0 END AS ocr_score
+              FROM j)
+            SELECT doc_id,
+              CASE WHEN md_avail AND NOT ocr_avail THEN 'markitdown'
+                   WHEN ocr_avail AND NOT md_avail THEN 'ocr'
+                   WHEN NOT md_avail AND NOT ocr_avail THEN 'ocr'
+                   WHEN md_score > ocr_score THEN 'markitdown' ELSE 'ocr' END AS chosen_method,
+              CASE WHEN md_avail AND NOT ocr_avail THEN 'Only MarkItDown succeeded'
+                   WHEN ocr_avail AND NOT md_avail THEN 'Only OCR succeeded'
+                   WHEN NOT md_avail AND NOT ocr_avail THEN 'Both methods failed'
+                   WHEN md_score > ocr_score THEN
+                     'MarkItDown scored ' || {f1_md} || ' vs OCR ' || {f1_ocr}
+                     || ' (+' || {f1_md_diff} || ')'
+                   ELSE
+                     'OCR scored ' || {f1_ocr} || ' vs MarkItDown ' || {f1_md}
+                     || ' (+' || {f1_ocr_diff} || ')'
+              END AS selection_reason,
+              md_score AS markitdown_score, ocr_score AS ocr_score,
+              md_avail AS markitdown_available, ocr_avail AS ocr_available
+            FROM f
+        """),
         "topk_docs": """
             SELECT doc_id, n_chars FROM documents
             ORDER BY n_chars DESC, doc_id ASC LIMIT 10

@@ -130,3 +130,111 @@ def fingerprint(t: Column) -> Column:
 def method_selection(md_score: Column, ocr_score: Column) -> Column:
     """T11 — weighted-score method choice (quality_evaluator.py:220-231)."""
     return F.when(md_score > ocr_score, F.lit("markitdown")).otherwise(F.lit("ocr"))
+
+
+# T11 preference tables AS DATA — exact reference values
+# (/root/reference/ocr_toolkit/quality_evaluator.py:20-44)
+MARKITDOWN_PREFERENCE: dict[str, float] = {
+    ".docx": 1.3, ".pptx": 1.3, ".xlsx": 1.2, ".pdf": 0.8, ".doc": 0.9,
+    ".ppt": 0.9, ".xls": 0.9, ".html": 1.2, ".htm": 1.2, ".rtf": 1.1,
+}
+OCR_PREFERENCE: dict[str, float] = {
+    ".jpg": 1.5, ".jpeg": 1.5, ".png": 1.4, ".bmp": 1.3, ".tiff": 1.4,
+    ".tif": 1.4, ".gif": 1.2, ".pdf": 1.1,
+}
+
+
+def preference(table: dict[str, float], ext: Column) -> Column:
+    """File-type preference lookup with the reference's 1.0 default
+    (quality_evaluator.py:128-143). `ext` includes the leading dot."""
+    m = F.create_map(*[F.lit(x) for kv in table.items() for x in kv])
+    return F.coalesce(m[F.lower(ext)], F.lit(1.0))
+
+
+def compare_methods(
+    md_success: Column,
+    md_content: Column,
+    ocr_success: Column,
+    ocr_content: Column,
+    ext: Column,
+    include_repeat_penalty: bool = True,
+) -> dict[str, Column]:
+    """T11 complete — the reference's compare_results
+    (quality_evaluator.py:145-233) as column expressions:
+
+    - availability short-circuit: a method counts only if it succeeded AND
+      produced non-empty content; if exactly one is available it wins with
+      reason 'Only {method} succeeded'; if neither, chosen_method falls back
+      to 'ocr' with reason 'Both methods failed' (reference defaults,
+      :161-192) and both scores stay 0.
+    - both available: final score = text quality total_score × the file-type
+      preference tables above; ties go to OCR (strict '>' like :220).
+    - selection_reason mirrors the reference f-strings; the one-decimal
+      value is produced by explicit HALF_UP fixed-point math
+      (floor(x*10+0.5)/10) instead of '%.1f' because Java Formatter,
+      C printf and CPython round binary doubles at the .x5 boundary
+      differently (observed: 14.85 → '14.9' in Spark, '14.8' in DuckDB).
+      The fixed-point rule is engine-portable and deterministic; scores are
+      rounded to 4 decimals first.
+    """
+    md_avail = (
+        md_success & md_content.isNotNull() & (F.length(md_content) > 0)
+    )
+    ocr_avail = (
+        ocr_success & ocr_content.isNotNull() & (F.length(ocr_content) > 0)
+    )
+    both = md_avail & ocr_avail
+    z = F.lit(0.0)
+
+    md_raw = (
+        quality_columns(md_content, include_repeat_penalty)["total_score"]
+        * preference(MARKITDOWN_PREFERENCE, ext)
+    )
+    ocr_raw = (
+        quality_columns(ocr_content, include_repeat_penalty)["total_score"]
+        * preference(OCR_PREFERENCE, ext)
+    )
+    def r4(x: Column) -> Column:
+        # fixed-point HALF_UP to 4 decimals — engine-portable, unlike
+        # round(x, 4) whose half-boundary behavior differs Spark vs DuckDB
+        return F.floor(x * 10000 + F.lit(0.5)) / 10000.0
+
+    md_final = F.when(both, r4(md_raw)).otherwise(z)
+    ocr_final = F.when(both, r4(ocr_raw)).otherwise(z)
+
+    def fmt(x: Column) -> Column:
+        i = F.floor(x * 10 + F.lit(0.5)).cast("long")  # x >= 0 always here
+        return F.concat(
+            (i / 10).cast("long").cast("string"), F.lit("."),
+            (i % 10).cast("string"),
+        )
+
+    md_wins = md_final > ocr_final
+    reason_md = F.concat(
+        F.lit("MarkItDown scored "), fmt(md_final), F.lit(" vs OCR "),
+        fmt(ocr_final), F.lit(" (+"), fmt(md_final - ocr_final), F.lit(")"),
+    )
+    reason_ocr = F.concat(
+        F.lit("OCR scored "), fmt(ocr_final), F.lit(" vs MarkItDown "),
+        fmt(md_final), F.lit(" (+"), fmt(ocr_final - md_final), F.lit(")"),
+    )
+    chosen = (
+        F.when(md_avail & ~ocr_avail, F.lit("markitdown"))
+        .when(ocr_avail & ~md_avail, F.lit("ocr"))
+        .when(~md_avail & ~ocr_avail, F.lit("ocr"))
+        .otherwise(F.when(md_wins, F.lit("markitdown")).otherwise(F.lit("ocr")))
+    )
+    reason = (
+        F.when(md_avail & ~ocr_avail, F.lit("Only MarkItDown succeeded"))
+        .when(ocr_avail & ~md_avail, F.lit("Only OCR succeeded"))
+        .when(~md_avail & ~ocr_avail, F.lit("Both methods failed"))
+        .otherwise(F.when(md_wins, reason_md).otherwise(reason_ocr))
+    )
+    return {
+        "chosen_method": chosen,
+        "selection_reason": reason,
+        "markitdown_score": md_final,
+        "ocr_score": ocr_final,
+        "markitdown_available": md_avail,
+        "ocr_available": ocr_avail,
+    }

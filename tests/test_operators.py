@@ -65,6 +65,62 @@ class TestDedup:
         assert pairs.get((1, 2)) == 0
 
 
+class TestMethodSelection:
+    def test_availability_short_circuit_and_reasons(self, spark):
+        """T11 complete (quality_evaluator.py:145-233): one-available wins
+        outright, both-failed defaults to ocr, both-available compares
+        preference-weighted quality scores and explains the choice."""
+        from ocr_toolkit_spark.operators.textstats import compare_methods
+
+        good = ("# Title\n\nA normal paragraph with plenty of words in it.\n\n"
+                "- one\n- two\n\nAnother paragraph of reasonable length here.")
+        rows = [
+            # (id, md_ok, md_text, ocr_ok, ocr_text, ext)
+            (1, True, good, False, good, ".pdf"),        # only md
+            (2, False, good, True, good, ".pdf"),        # only ocr
+            (3, True, "", True, good, ".pdf"),           # md empty → only ocr
+            (4, False, good, False, good, ".docx"),      # both failed
+            (5, True, good, True, good[:40], ".docx"),   # both → md pref 1.3
+            (6, True, good[:40], True, good, ".jpg"),    # both → ocr pref 1.5
+            (7, True, None, True, good, ".txt"),         # md null → only ocr
+        ]
+        df = spark.createDataFrame(
+            rows, "id int, md_ok boolean, md_tx string, ocr_ok boolean, "
+                  "ocr_tx string, ext string")
+        cols = compare_methods(
+            F.col("md_ok"), F.col("md_tx"), F.col("ocr_ok"), F.col("ocr_tx"),
+            F.col("ext"))
+        out = {r["id"]: r for r in df.select(
+            "id", *[c.alias(n) for n, c in cols.items()]).collect()}
+        assert (out[1]["chosen_method"], out[1]["selection_reason"]) == (
+            "markitdown", "Only MarkItDown succeeded")
+        assert (out[2]["chosen_method"], out[2]["selection_reason"]) == (
+            "ocr", "Only OCR succeeded")
+        assert (out[3]["chosen_method"], out[3]["selection_reason"]) == (
+            "ocr", "Only OCR succeeded")
+        assert (out[4]["chosen_method"], out[4]["selection_reason"]) == (
+            "ocr", "Both methods failed")
+        assert out[4]["markitdown_score"] == out[4]["ocr_score"] == 0.0
+        assert out[5]["chosen_method"] == "markitdown"
+        assert out[5]["selection_reason"].startswith("MarkItDown scored ")
+        assert out[5]["markitdown_score"] > out[5]["ocr_score"] > 0
+        assert out[6]["chosen_method"] == "ocr"
+        assert out[6]["selection_reason"].startswith("OCR scored ")
+        assert (out[7]["chosen_method"], out[7]["selection_reason"]) == (
+            "ocr", "Only OCR succeeded")
+
+    def test_preference_tables_match_reference(self):
+        from ocr_toolkit_spark.operators.textstats import (
+            MARKITDOWN_PREFERENCE, OCR_PREFERENCE)
+
+        # exact reference values, quality_evaluator.py:20-44
+        assert MARKITDOWN_PREFERENCE[".docx"] == 1.3
+        assert MARKITDOWN_PREFERENCE[".pdf"] == 0.8
+        assert OCR_PREFERENCE[".pdf"] == 1.1
+        assert OCR_PREFERENCE[".jpg"] == 1.5
+        assert len(MARKITDOWN_PREFERENCE) == 10 and len(OCR_PREFERENCE) == 8
+
+
 class TestSkewGuard:
     """r1 review item #3: a degenerate bucket (m boilerplate clones) must
     not explode into m² pairs inside one join key."""
