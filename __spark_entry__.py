@@ -510,7 +510,8 @@ def q_lsh_topk(spark, sf_dir):
 
     e = _t(spark, sf_dir, "embeddings")
     dim = len(e.select("embedding").first()[0])
-    return lsh_topk(e, e.filter(F.col("vec_id") < 5), dim=dim, k=3, n_bits=6)
+    return lsh_topk(e, e.filter(F.col("vec_id") < 5), dim=dim, k=3, n_bits=6,
+                    n_probe=3, n_tables=2)
 
 
 def q_ivf_topk(spark, sf_dir):

@@ -99,27 +99,59 @@ def lsh_topk(
     k: int = 10,
     n_bits: int = 12,
     seed: int = 42,
+    n_probe: int = 1,
+    n_tables: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Approximate top-k: candidates share the query's SRP bucket, exact
-    cosine re-rank inside buckets. Recall grows with fewer bits / multi-probe;
-    cost per query drops from N to ~N/2^n_bits."""
-    bucketer = make_srp_bucketer(dim, n_bits, seed)
+    cosine re-rank inside buckets. Cost per query drops from N to
+    ~n_tables·n_probe·N/2^n_bits.
+
+    Two standard recall levers (Indyk–Motwani LSH):
+
+    - `n_tables` independent hash tables (distinct seeded projections); a
+      neighbor is found if ANY table co-buckets it: recall 1-(1-p)^L. The
+      vector side carries L bucket rows (explode) — the classic memory-for-
+      recall trade.
+    - multi-probe (`n_probe`): a true neighbor split off by one hyperplane
+      lands at Hamming distance 1, so each query also probes n_probe-1
+      single-bit-flip buckets per table — only the tiny QUERY side expands.
+    """
+    tables = [
+        (t, make_srp_bucketer(dim, n_bits, seed + t)) for t in range(n_tables)
+    ]
+    v_buckets = F.array(*[
+        F.struct(F.lit(t).alias("tbl"), bk(F.col(vec_col)).alias("bucket"))
+        for t, bk in tables
+    ])
     v = vectors.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("v_vec"),
-        bucketer(F.col(vec_col)).alias("bucket"),
-    )
+        F.explode(v_buckets).alias("tb"),
+    ).select("neighbor_id", "v_vec", "tb.tbl", "tb.bucket")
+
+    probes = range(min(n_probe - 1, n_bits)) if n_probe > 1 else ()
+    q_buckets = F.array(*[
+        F.struct(
+            F.lit(t).alias("tbl"),
+            (bk(F.col(vec_col)).bitwiseXOR(F.lit(flip))).alias("bucket"),
+        )
+        for t, bk in tables
+        for flip in [0, *[1 << i for i in probes]]
+    ])
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        bucketer(F.col(vec_col)).alias("bucket"),
-    )
+        F.explode(q_buckets).alias("tb"),
+    ).select("query_id", "q_vec", "tb.tbl", "tb.bucket")
+
     scored = (
-        v.join(F.broadcast(q), "bucket")
+        v.join(F.broadcast(q), ["tbl", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("sim", F.round(cosine(F.col("q_vec"), F.col("v_vec")), 6))
+        .select("query_id", "neighbor_id", "sim")
+        .distinct()  # a pair can meet in several probed buckets/tables
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
