@@ -44,7 +44,7 @@ from pyspark.sql import DataFrame
 
 from ..functions.cells import format_cells
 from ..functions.html import extract_blocks
-from ..schema import EXTRACTED_SCHEMA
+from ..schema import EXTRACTED_PROFILE_SCHEMA, EXTRACTED_SCHEMA
 
 KNOWN_KINDS = ("text", "heading", "html", "image", "table_row", "page_break", "bytes")
 _MD_HEADER_RE = "^#{1,6} "
@@ -155,8 +155,15 @@ def _process_batch(
     batch: pa.RecordBatch,
     with_images: bool,
     pages: frozenset[int] | None = None,
+    profile: bool = False,
 ) -> pa.RecordBatch:
     t0 = time.perf_counter()
+    _marks: list[tuple[str, float]] = []
+
+    def mk(name: str) -> None:
+        # A4 named-section profiler (reference utils/profiling.py:26-50);
+        # negligible cost (one perf_counter per section per batch)
+        _marks.append((name, time.perf_counter()))
     n_docs = batch.num_rows
     doc_id_arr = batch.column("doc_id")
     spans_col = batch.column("spans")
@@ -301,6 +308,7 @@ def _process_batch(
 
     seq = np.arange(n_spans, dtype=np.float64)
 
+    mk("setup_dispatch")
     # ---- bytes decode (SPANS.md §3.3) --------------------------------------
     decoded_trim: pa.Array | None = None
     bytes_pos = np.nonzero((span_fmt == "bytes_text") & is_by)[0]
@@ -313,6 +321,7 @@ def _process_batch(
         )
         dec_nonempty = pc.not_equal(decoded_trim, "").to_numpy(zero_copy_only=False)
 
+    mk("bytes_decode")
     # ---- text / bytes_text wrap (SPANS.md §3.1/3.3) -------------------------
     text_docs = np.nonzero((fmt == "text") | (fmt == "bytes_text"))[0]
     if len(text_docs):
@@ -352,6 +361,7 @@ def _process_batch(
                np.where(is_hdr, K_HEADING, K_TEXT).astype(np.int8),
                ref=np.where(sel, tl, -1), raw_ref=np.where(sel, -1, li))
 
+    mk("text_markdown")
     # ---- paged assembly (SPANS.md §3.4) -------------------------------------
     paged_span = span_fmt == "paged"
     if paged_span.any():
@@ -401,6 +411,7 @@ def _process_batch(
                        gen_idx=np.zeros(len(irows), np.int64),
                        media_ref=irows)
 
+    mk("paged")
     # ---- sheet assembly (SPANS.md §3.5) — minority, Python stringify --------
     sheet_rows = np.nonzero((span_fmt == "sheet") & (is_tr | (kind_np == "heading")))[0]
     sheet_docs = np.nonzero(fmt == "sheet")[0]
@@ -478,6 +489,7 @@ def _process_batch(
         em.add(np.asarray(e_di, np.int64), np.asarray(e_sort, np.float64),
                np.asarray(e_kind, np.int8), gen_idx=np.asarray(e_gen, np.int64))
 
+    mk("sheet")
     # ---- html boilerplate strip (SPANS.md §3.7) — minority, Python parse ----
     html_rows = np.nonzero((span_fmt == "html") & is_html)[0]
     if len(html_rows):
@@ -514,6 +526,7 @@ def _process_batch(
                np.asarray(e_kind, np.int8), gen_idx=np.asarray(e_gen, np.int64),
                media_gen=np.asarray(e_mgen, np.int64))
 
+    mk("html")
     # ---- finalize -----------------------------------------------------------
     if em.di:
         E_di = np.concatenate(em.di)
@@ -594,30 +607,46 @@ def _process_batch(
         lens = pc.utf8_length(text_final).to_numpy(zero_copy_only=False)
         n_chars = np.bincount(E_di, weights=lens, minlength=n_docs).astype(np.int64)
 
+    mk("finalize")
     elapsed = (time.perf_counter() - t0) * 1000.0 / max(n_docs, 1)
-    return pa.RecordBatch.from_arrays(
-        [
-            doc_id_arr,
-            out_spans,
-            pa.array(~failed),
-            pa.array(errors, pa.string()),
-            pa.array(fmt, pa.string()),
-            pa.array(counts.astype(np.int32), pa.int32()),
-            pa.array(n_chars, pa.int64()),
-            pa.array(np.full(n_docs, elapsed), pa.float64()),
-        ],
-        names=_OUT_FIELD_NAMES,
-    )
+    arrays = [
+        doc_id_arr,
+        out_spans,
+        pa.array(~failed),
+        pa.array(errors, pa.string()),
+        pa.array(fmt, pa.string()),
+        pa.array(counts.astype(np.int32), pa.int32()),
+        pa.array(n_chars, pa.int64()),
+        pa.array(np.full(n_docs, elapsed), pa.float64()),
+    ]
+    names = list(_OUT_FIELD_NAMES)
+    if profile:
+        # batch-level section deltas, repeated per doc (documented in
+        # schema.EXTRACTED_PROFILE_SCHEMA)
+        prev = t0
+        sections: list[tuple[str, float]] = []
+        for name, ts in _marks:
+            sections.append((name, (ts - prev) * 1000.0))
+            prev = ts
+        n_sec = len(sections)
+        offsets = pa.array(np.arange(n_docs + 1, dtype=np.int32) * n_sec,
+                           pa.int32())
+        keys = pa.array([k for k, _ in sections] * n_docs, pa.string())
+        vals = pa.array([v for _, v in sections] * n_docs, pa.float64())
+        arrays.append(pa.MapArray.from_arrays(offsets, keys, vals))
+        names.append("section_ms")
+    return pa.RecordBatch.from_arrays(arrays, names=names)
 
 
 def make_extract_fn(
     with_images: bool = True,
     pages: frozenset[int] | None = None,
+    profile: bool = False,
 ) -> Callable[[Iterator[pa.RecordBatch]], Iterator[pa.RecordBatch]]:
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
             if batch.num_rows:
-                yield _process_batch(batch, with_images, pages)
+                yield _process_batch(batch, with_images, pages, profile)
 
     return fn
 
@@ -626,16 +655,22 @@ def extract_spans(
     df: DataFrame,
     with_images: bool = True,
     pages: frozenset[int] | str | None = None,
+    profile: bool = False,
 ) -> DataFrame:
     """documents(doc_id, spans) → extracted(...) via one mapInArrow stage.
 
     `pages`: optional page selection for paged docs — a spec string like
     "1-5,10" (reference `--pages`, page_selection.py:20-68) or a frozenset of
-    1-based page numbers."""
+    1-based page numbers.
+
+    `profile=True` appends a `section_ms` map column with per-batch named
+    kernel timings (A4, reference utils/profiling.py) — opt-in so the
+    production schema is unchanged."""
     if isinstance(pages, str):
         from ..functions.pages import parse_pages
 
         pages = parse_pages(pages)
     return df.select("doc_id", "spans").mapInArrow(
-        make_extract_fn(with_images, pages), EXTRACTED_SCHEMA
+        make_extract_fn(with_images, pages, profile),
+        EXTRACTED_PROFILE_SCHEMA if profile else EXTRACTED_SCHEMA,
     )

@@ -210,6 +210,62 @@ def with_output_quality(extracted: DataFrame) -> DataFrame:
     return df
 
 
+def run_report(extracted: DataFrame, top_k_errors: int = 10) -> dict:
+    """A2 — the one-call conversion summary, the distributed analog of the
+    reference's end-of-run report (cli/convert.py:553-625: success rate,
+    avg per-doc time, throughput) plus a failure top-k by error string.
+
+    Returns a plain dict (driver-side; every aggregate is one shuffle of
+    tiny partial aggregates). When `extracted` carries the opt-in
+    `section_ms` profile column (extract_spans(profile=True)), the report
+    includes mean per-batch section timings (A4)."""
+    agg = extracted.agg(
+        F.count("*").alias("docs"),
+        F.sum(F.col("success").cast("long")).alias("succeeded"),
+        F.sum((~F.col("success")).cast("long")).alias("failed"),
+        F.sum("n_spans").alias("spans"),
+        F.sum("n_chars").alias("chars"),
+        F.avg("elapsed_ms").alias("avg_elapsed_ms"),
+    ).collect()[0]
+    docs = agg["docs"] or 0
+    avg_ms = float(agg["avg_elapsed_ms"] or 0.0)
+    report = {
+        "docs": docs,
+        "succeeded": int(agg["succeeded"] or 0),
+        "failed": int(agg["failed"] or 0),
+        "success_rate": (int(agg["succeeded"] or 0) / docs) if docs else 0.0,
+        "spans": int(agg["spans"] or 0),
+        "chars": int(agg["chars"] or 0),
+        "avg_elapsed_ms": avg_ms,
+        # single-core throughput implied by kernel time (the reference's
+        # pages-per-sec analog); wall-clock throughput is this × cores
+        "docs_per_sec_per_core": (1000.0 / avg_ms) if avg_ms else 0.0,
+        "by_method": {
+            r["method"]: {
+                "docs": r["docs"], "succeeded": r["succeeded"],
+                "spans": r["spans"], "chars": r["chars"],
+                "avg_elapsed_ms": r["avg_elapsed_ms"],
+            }
+            for r in extraction_stats(extracted).collect()
+        },
+        "top_errors": [
+            {"error": r["error"], "docs": r["n"]}
+            for r in extracted.filter(~F.col("success"))
+            .groupBy("error").agg(F.count("*").alias("n"))
+            .orderBy(F.desc("n"), F.asc("error")).limit(top_k_errors)
+            .collect()
+        ],
+    }
+    if "section_ms" in extracted.columns:
+        secs = (
+            extracted.select(F.explode("section_ms").alias("section", "ms"))
+            .groupBy("section").agg(F.avg("ms").alias("avg_ms"))
+            .collect()
+        )
+        report["profile_avg_batch_ms"] = {r["section"]: r["avg_ms"] for r in secs}
+    return report
+
+
 def extraction_stats(extracted: DataFrame) -> DataFrame:
     """Corpus-level metrics — the distributed ProcessingStats
     (/root/reference/ocr_toolkit/processors/stats.py:28-85): Catalyst handles

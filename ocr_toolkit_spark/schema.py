@@ -64,6 +64,15 @@ EXTRACTED_SCHEMA = T.StructType(
 
 OUTPUT_KINDS = frozenset({"heading", "text", "table", "image"})
 
+# A4 profiler (reference utils/profiling.py named sections): opt-in variant
+# of EXTRACTED_SCHEMA with per-kernel section timings. Values are per Arrow
+# BATCH (one measurement shared by the batch's docs) — a run-level
+# aggregation averages them per section.
+EXTRACTED_PROFILE_SCHEMA = T.StructType(
+    EXTRACTED_SCHEMA.fields
+    + [T.StructField("section_ms", T.MapType(T.StringType(), T.DoubleType()), False)]
+)
+
 # ---------------------------------------------------------------------------
 # Lineage: per-partition commit records for idempotent resume (north_rule;
 # the reference has NO checkpointing — SURVEY.md §2.5 E5).

@@ -74,6 +74,36 @@ def test_resume_after_partial_commit(spark, tmpdir_path):
     assert result.count() == n_docs_in
 
 
+def test_run_report_and_profile(spark, tmpdir_path):
+    """A2 run report + A4 named-section profiler: one call, exact totals,
+    failure top-k, per-kernel batch timings under profile=True."""
+    from ocr_toolkit_spark.operators.extract import extract_spans
+    from ocr_toolkit_spark.pipeline import run_report
+
+    corpus = os.path.join(tmpdir_path, "docs.parquet")
+    write_corpus(corpus, n_docs=200, seed=42)
+    docs = tio.read_documents(spark, corpus)
+    extracted = extract_spans(docs, profile=True).cache()
+    try:
+        rep = run_report(extracted)
+        assert rep["docs"] == 200
+        assert rep["succeeded"] + rep["failed"] == 200
+        assert 0 < rep["success_rate"] <= 1
+        assert rep["docs_per_sec_per_core"] > 0
+        assert sum(m["docs"] for m in rep["by_method"].values()) == 200
+        assert rep["failed"] == sum(e["docs"] for e in rep["top_errors"])
+        assert all(e["error"] for e in rep["top_errors"])
+        prof = rep["profile_avg_batch_ms"]
+        assert {"setup_dispatch", "bytes_decode", "text_markdown", "paged",
+                "sheet", "html", "finalize"} == set(prof)
+        assert all(v >= 0 for v in prof.values())
+        # profile column must not change the data columns
+        plain = extract_spans(docs)
+        assert plain.columns + ["section_ms"] == extracted.columns
+    finally:
+        extracted.unpersist()
+
+
 def test_salting_splits_oversized(spark, tmpdir_path):
     from ocr_toolkit_spark.pipeline import salt_oversized
 
