@@ -27,6 +27,7 @@ BENCH_QUERIES = [
     "window_running",
     "similarity_bruteforce",
     "minhash_dedup",
+    "simhash_dedup",
     "exact_dedup",
     "token_stats",
 ]
