@@ -74,6 +74,36 @@ def test_resume_after_partial_commit(spark, tmpdir_path):
     assert result.count() == n_docs_in
 
 
+def test_crash_between_data_write_and_lineage_commit(spark, tmpdir_path):
+    """Commit-protocol hardening (io.py contract): lineage is appended AFTER
+    the data write, so a crash in between leaves orphan data files but no
+    commit record. The next run must re-process those partitions and the
+    dynamic partition overwrite must REPLACE the orphan files — full
+    coverage, zero duplicates."""
+    corpus = os.path.join(tmpdir_path, "docs.parquet")
+    out = os.path.join(tmpdir_path, "out")
+    lineage = os.path.join(tmpdir_path, "lineage")
+    write_corpus(corpus, n_docs=200, seed=42)
+
+    # crashed run: data files written for partitions 0..15, NO lineage append
+    docs = with_partition_id(tio.read_documents(spark, corpus), 64)
+    from ocr_toolkit_spark.operators.extract import extract_spans
+
+    partial_out = with_partition_id(
+        extract_spans(docs.filter(F.col("partition_id") < 16)
+                      .select("doc_id", "spans")), 64)
+    tio.write_extracted(partial_out, out)
+
+    # recovery run: sees no lineage → processes EVERYTHING
+    stats = run_extraction(spark, corpus, out, lineage, run_id="recovery")
+    assert stats.partitions_skipped == 0
+
+    result = tio.read_extracted(spark, out)
+    n_docs_in = tio.read_documents(spark, corpus).count()
+    assert result.count() == n_docs_in  # orphans replaced, not duplicated
+    assert result.select("doc_id").distinct().count() == n_docs_in
+
+
 def test_run_report_and_profile(spark, tmpdir_path):
     """A2 run report + A4 named-section profiler: one call, exact totals,
     failure top-k, per-kernel batch timings under profile=True."""
