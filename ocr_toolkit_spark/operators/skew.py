@@ -46,14 +46,21 @@ def star_capped_pairs(
     """Candidate pairs (id_a < id_b) from a bucket self-join with the
     oversized-bucket star guard.  Payload columns are carried through as
     `<name>_a` / `<name>_b` (e.g. signatures for Hamming verification)."""
-    stats = df.groupBy(*key_cols).agg(
-        F.count("*").alias("_bucket_n"),
-        # min over (id, payload...) structs == the min-id row, payload intact
-        F.min(F.struct(id_col, *payload_cols)).alias("_rep"),
+    # One aggregation finds the oversized buckets; its output is TINY
+    # (≤ rows/max_bucket keys), so both the anti-join (drop big-bucket rows
+    # from the all-pairs side) and the star join run as broadcast joins under
+    # AQE — the only full-table shuffle left is the self-join itself.
+    big = (
+        df.groupBy(*key_cols)
+        .agg(
+            F.count("*").alias("_bucket_n"),
+            # min over (id, payload...) structs == min-id row, payload intact
+            F.min(F.struct(id_col, *payload_cols)).alias("_rep"),
+        )
+        .filter(F.col("_bucket_n") > max_bucket)
     )
-    tagged = df.join(stats, key_cols)
 
-    small = tagged.filter(F.col("_bucket_n") <= max_bucket)
+    small = df.join(big.select(*key_cols), key_cols, "left_anti")
     a, b = small.alias("a"), small.alias("b")
     cond = reduce(
         lambda x, y: x & y,
@@ -66,11 +73,10 @@ def star_capped_pairs(
         *[F.col(f"b.{p}").alias(f"{p}_b") for p in payload_cols],
     )
 
-    big = tagged.filter(
-        (F.col("_bucket_n") > max_bucket)
-        & (F.col(id_col) != F.col(f"_rep.{id_col}"))
+    members = df.join(big.select(*key_cols, "_rep"), key_cols).filter(
+        F.col(id_col) != F.col(f"_rep.{id_col}")
     )
-    pairs_big = big.select(
+    pairs_big = members.select(
         F.col(f"_rep.{id_col}").alias("id_a"),  # rep = min id → id_a < id_b
         F.col(id_col).alias("id_b"),
         *[F.col(f"_rep.{p}").alias(f"{p}_a") for p in payload_cols],
