@@ -64,6 +64,19 @@ EXTRACTED_SCHEMA = T.StructType(
 
 OUTPUT_KINDS = frozenset({"heading", "text", "table", "image"})
 
+# Driver `events` table shape (TESTDATA.md) — used by the streaming
+# watermark/windowed-aggregation leg.
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
 # A4 profiler (reference utils/profiling.py named sections): opt-in variant
 # of EXTRACTED_SCHEMA with per-kernel section timings. Values are per Arrow
 # BATCH (one measurement shared by the batch's docs) — a run-level
