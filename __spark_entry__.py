@@ -208,6 +208,35 @@ def q_method_selection_full(spark, sf_dir):
     )
 
 
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization (operators/sessions.py): lag + running-sum
+    windows on one user_id shuffle, then per-user session stats."""
+    from ocr_toolkit_spark.operators.sessions import sessionize
+
+    sessions = sessionize(_t(spark, sf_dir, "events"), gap_minutes=30)
+    return sessions.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("n_events").cast("long").alias("total_events"),
+        F.max("n_events").cast("long").alias("max_session_events"),
+        F.max("duration_secs").cast("long").alias("max_duration_secs"),
+    )
+
+
+def q_event_windows(spark, sf_dir):
+    """Tumbling event-time windows in batch — the batch twin of the
+    streaming watermarked aggregation (streaming/stream_stats.py); the
+    watermark is a no-op in batch mode, semantics otherwise identical."""
+    from ocr_toolkit_spark.streaming.stream_stats import windowed_event_counts
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts") < "2024-01-04")
+    out = windowed_event_counts(ev)
+    return out.groupBy("window_start", "window_end").agg(
+        F.sum("n_events").cast("long").alias("n_events"),
+        (F.floor(F.sum("total_value") * 1000 + F.lit(0.5)) / 1000.0)
+        .alias("total_value"),
+    )
+
+
 def q_topk_docs(spark, sf_dir):
     """Top-k (orderBy+limit) — the slowest-docs report analog."""
     return (
@@ -560,6 +589,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": q_quality_scores,
         "method_selection": q_method_selection,
         "method_selection_full": q_method_selection_full,
+        "sessionize": q_sessionize,
+        "event_windows": q_event_windows,
         "topk_docs": q_topk_docs,
         "anti_join": q_anti_join,
         "exact_dedup": q_exact_dedup,
@@ -751,6 +782,40 @@ def oracle_sql() -> dict[str, str]:
               md_avail AS markitdown_available, ocr_avail AS ocr_available
             FROM f
         """),
+        "sessionize": """
+            WITH tagged AS (
+              SELECT user_id, ts, event_id,
+                CASE WHEN lag(ts) OVER w IS NULL
+                      OR CAST(floor(epoch(ts)) AS BIGINT)
+                         - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+                     THEN 1 ELSE 0 END AS is_new
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            seq AS (
+              SELECT user_id, ts,
+                sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_seq
+              FROM tagged),
+            sess AS (
+              SELECT user_id, session_seq, count(*) AS n_events,
+                CAST(floor(epoch(max(ts))) AS BIGINT)
+                - CAST(floor(epoch(min(ts))) AS BIGINT) AS duration_secs
+              FROM seq GROUP BY user_id, session_seq)
+            SELECT user_id, count(*) AS n_sessions,
+                   CAST(sum(n_events) AS BIGINT) AS total_events,
+                   CAST(max(n_events) AS BIGINT) AS max_session_events,
+                   CAST(max(duration_secs) AS BIGINT) AS max_duration_secs
+            FROM sess GROUP BY user_id
+        """,
+        "event_windows": """
+            SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+                   time_bucket(INTERVAL '10 minutes', ts) + INTERVAL '10 minutes' AS window_end,
+                   count(*) AS n_events,
+                   floor(sum(value)*1000 + 0.5)/1000.0 AS total_value
+            FROM events
+            WHERE ts < TIMESTAMP '2024-01-04'
+            GROUP BY 1, 2
+        """,
         "topk_docs": """
             SELECT doc_id, n_chars FROM documents
             ORDER BY n_chars DESC, doc_id ASC LIMIT 10

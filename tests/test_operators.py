@@ -65,6 +65,44 @@ class TestDedup:
         assert pairs.get((1, 2)) == 0
 
 
+class TestSessionize:
+    def test_gap_splits_sessions(self, spark):
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 1, 12, 0, 0)
+        rows = [
+            # user 1: two events 10 min apart (one session), then a 31-min
+            # gap (new session), then 29-min gap (same session)
+            (1, 1, base),
+            (2, 1, base + dt.timedelta(minutes=10)),
+            (3, 1, base + dt.timedelta(minutes=41)),
+            (4, 1, base + dt.timedelta(minutes=70)),
+            # user 2: single event
+            (5, 2, base),
+        ]
+        df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+        from ocr_toolkit_spark.operators.sessions import sessionize
+
+        out = {(r.user_id, r.session_seq): r
+               for r in sessionize(df, gap_minutes=30).collect()}
+        assert out[(1, 1)].n_events == 2 and out[(1, 1)].duration_secs == 600
+        assert out[(1, 2)].n_events == 2 and out[(1, 2)].duration_secs == 29 * 60
+        assert out[(2, 1)].n_events == 1 and out[(2, 1)].duration_secs == 0
+        assert len(out) == 3
+
+    def test_exact_boundary_gap_keeps_session(self, spark):
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 1)
+        df = spark.createDataFrame(
+            [(1, 1, base), (2, 1, base + dt.timedelta(minutes=30))],
+            "event_id long, user_id long, ts timestamp")
+        from ocr_toolkit_spark.operators.sessions import sessionize
+
+        rows = sessionize(df, gap_minutes=30).collect()
+        assert len(rows) == 1 and rows[0].n_events == 2  # strict '>' gap
+
+
 class TestMethodSelection:
     def test_availability_short_circuit_and_reasons(self, spark):
         """T11 complete (quality_evaluator.py:145-233): one-available wins
