@@ -81,7 +81,10 @@ def extract_blocks(html: str) -> list[HtmlBlock]:
             closing = tok.startswith("</")
             j = 2 if closing else 1
             n_tok = len(tok)
-            while j < n_tok and tok[j] in " \t\r\n\f\v":
+            # str.isspace(), not an ASCII set: Python's regex \s (the
+            # oracle's _TAG_NAME_RE) also skips U+001C-001F and Unicode
+            # spaces before the tag name — '<\x1fp>' IS a <p> tag
+            while j < n_tok and tok[j].isspace():
                 j += 1
             k = j
             if k < n_tok and tok[k].isascii() and tok[k].isalpha():

@@ -169,6 +169,23 @@ class TestHtml:
         kept = [b.text for b in extract_blocks(html) if b.kept]
         assert kept == ["ten tiny words here to go over the length bar"]
 
+    def test_control_char_whitespace_before_tag_name(self):
+        """Python's \\s (oracle regex) treats U+001C-001F and Unicode spaces
+        as whitespace before a tag name — '<\\x1fp>' IS a <p> block tag, and
+        an unnamed '<\\x1f@>' is not a tag at all. Found by fuzzing; the
+        kernel's manual scan used an ASCII-only set."""
+        from ocr_toolkit_spark.functions.html import extract_blocks
+
+        body = "twenty five characters of body text here"
+        for html in (f"<\x1fp>{body}<\x1fq>{body}</p>",
+                     f"<\xa0p>{body}</\x1cp>{body}",
+                     f"W!&wP<\x1fhtLY\n=x>{body}"):
+            r = oracle.extract_document(
+                "d", [{"kind": "html", "text": html, "media_ref": "",
+                       "offset": 0}])
+            kept = [(b.text, b.kept) for b in extract_blocks(html)]
+            assert [t for t, k in kept if k] == [s.text for s in r.out_spans], html
+
     def test_script_and_entities(self):
         html = ("<p>safe &amp; sound, longer than the minimum length</p>"
                 "<script>ignored = '<p>junk</p>';</script>")
