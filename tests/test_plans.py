@@ -87,6 +87,27 @@ def test_media_join_not_unconditionally_broadcast(spark, corpus_path):
     assert "strategy=broadcast" not in qe.optimizedPlan().toString()
 
 
+def test_sessionize_single_shuffle(spark):
+    """lag window, running-sum window, per-session agg and per-user agg must
+    all reuse ONE user_id exchange — the property that makes sessionization
+    viable at 10^12 events."""
+    import __spark_entry__ as em
+
+    plan = formatted_plan(em.queries()["sessionize"](spark, SF_DIR))
+    # each Exchange appears once in the tree and once in the detail section
+    assert plan.count("(") and plan.count("+- Exchange") == 1, plan
+
+
+def test_method_selection_is_map_side_only(spark):
+    """T11 scoring + selection is pure column algebra: no exchange, no
+    Python stage — per-row cost only, embarrassingly parallel."""
+    import __spark_entry__ as em
+
+    plan = formatted_plan(em.queries()["method_selection_full"](spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_no_row_python_udf_in_entry_queries(spark):
     """input_hint bans per-row Python: every entry query plan must be free of
     BatchEvalPython (row-at-a-time UDF execution)."""
