@@ -368,6 +368,10 @@ def q_tpch_q1(spark, sf_dir):
     comparable with DuckDB."""
     li = _t(spark, sf_dir, "lineitem")
     dec = lambda c: F.col(c).cast("decimal(18,4)")
+    # Spark's decimal→double is correctly rounded (BigDecimal.doubleValue);
+    # DuckDB's direct CAST(decimal AS DOUBLE) is off by 1 ulp at sf0.1
+    # magnitudes, so the twin routes through VARCHAR (exact digits) and a
+    # correctly-rounded string→double parse — identical bits at any SF.
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -396,7 +400,7 @@ def q_tpch_q3_topk(spark, sf_dir):
             F.sum(
                 (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))).cast("decimal(28,8)")
             )
-            .cast("double")
+            .cast("double")  # oracle twin parses via VARCHAR: see q_tpch_q1
             .alias("revenue")
         )
         .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
@@ -893,9 +897,9 @@ def oracle_sql() -> dict[str, str]:
         "similarity_bruteforce": _SIMILARITY_SQL,
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,
-                   CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-                   CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(28,8))) AS DOUBLE) AS sum_disc_price,
+                   CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+                   CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+                   CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(28,8))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
                    count(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -903,7 +907,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "tpch_q3_topk": """
             SELECT o.o_orderkey, o.o_orderdate,
-                   CAST(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l.l_discount AS DECIMAL(18,4))) AS DECIMAL(28,8))) AS DOUBLE) AS revenue
+                   CAST(CAST(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l.l_discount AS DECIMAL(18,4))) AS DECIMAL(28,8))) AS VARCHAR) AS DOUBLE) AS revenue
             FROM customer c
             JOIN orders o ON c.c_custkey = o.o_custkey
             JOIN lineitem l ON o.o_orderkey = l.l_orderkey
