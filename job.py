@@ -20,11 +20,36 @@ import sys
 import uuid
 
 
+def list_formats() -> None:
+    """--list-formats analog (reference cli/convert.py:152-179): the engine
+    dispatches on span KINDS, not file extensions — print the dispatch
+    table from the frozen spec (docs/SPANS.md §1)."""
+    from ocr_toolkit_spark.operators.extract import KNOWN_KINDS
+
+    print("Supported input span kinds:")
+    print("===========================")
+    print(f"  {', '.join(KNOWN_KINDS)}")
+    print("\nFormat dispatch (first matching rule wins — SPANS.md §1):")
+    for rule, fmt in [
+        ("spans NULL or empty", "error"),
+        ("any kind='html'", "html"),
+        ("any kind='table_row'", "sheet"),
+        ("any kind='page_break'", "paged"),
+        ("any kind='bytes'", "bytes_text (UTF-8 → GBK fallback)"),
+        ("first text matches '^#{1,6} '", "markdown"),
+        ("any known kind", "text"),
+        ("only unknown kinds", "error"),
+    ]:
+        print(f"  {rule:38s} → {fmt}")
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(description="ocr_toolkit_spark extraction job")
-    p.add_argument("--input", required=True, help="documents parquet path")
-    p.add_argument("--output", required=True, help="extracted output path")
-    p.add_argument("--lineage", required=True, help="lineage table path")
+    p.add_argument("--list-formats", action="store_true",
+                   help="list supported span kinds + dispatch rules and exit")
+    p.add_argument("--input", help="documents parquet path")
+    p.add_argument("--output", help="extracted output path")
+    p.add_argument("--lineage", help="lineage table path")
     p.add_argument("--run-id", default=None)
     p.add_argument("--no-images", action="store_true", help="strip image spans")
     p.add_argument("--pages", default=None,
@@ -34,6 +59,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--salt-threshold", type=int, default=500)
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
+
+    if args.list_formats:
+        list_formats()
+        return 0
+    if not (args.input and args.output and args.lineage):
+        p.error("--input, --output and --lineage are required "
+                "(unless using --list-formats)")
 
     from ocr_toolkit_spark.pipeline import extraction_stats, run_extraction
     from ocr_toolkit_spark.session import get_spark
