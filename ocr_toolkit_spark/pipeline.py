@@ -226,6 +226,8 @@ def run_report(extracted: DataFrame, top_k_errors: int = 10) -> dict:
         F.sum("n_spans").alias("spans"),
         F.sum("n_chars").alias("chars"),
         F.avg("elapsed_ms").alias("avg_elapsed_ms"),
+        F.min("elapsed_ms").alias("min_elapsed_ms"),
+        F.max("elapsed_ms").alias("max_elapsed_ms"),
     ).collect()[0]
     docs = agg["docs"] or 0
     avg_ms = float(agg["avg_elapsed_ms"] or 0.0)
@@ -237,6 +239,10 @@ def run_report(extracted: DataFrame, top_k_errors: int = 10) -> dict:
         "spans": int(agg["spans"] or 0),
         "chars": int(agg["chars"] or 0),
         "avg_elapsed_ms": avg_ms,
+        # fastest/slowest per-doc kernel cost (reference benchmark report's
+        # fastest/slowest-file lines; batch-amortized here)
+        "min_elapsed_ms": float(agg["min_elapsed_ms"] or 0.0),
+        "max_elapsed_ms": float(agg["max_elapsed_ms"] or 0.0),
         # single-core throughput implied by kernel time (the reference's
         # pages-per-sec analog); wall-clock throughput is this × cores
         "docs_per_sec_per_core": (1000.0 / avg_ms) if avg_ms else 0.0,

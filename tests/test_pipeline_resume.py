@@ -120,6 +120,7 @@ def test_run_report_and_profile(spark, tmpdir_path):
         assert rep["succeeded"] + rep["failed"] == 200
         assert 0 < rep["success_rate"] <= 1
         assert rep["docs_per_sec_per_core"] > 0
+        assert 0 < rep["min_elapsed_ms"] <= rep["avg_elapsed_ms"] <= rep["max_elapsed_ms"]
         assert sum(m["docs"] for m in rep["by_method"].values()) == 200
         assert rep["failed"] == sum(e["docs"] for e in rep["top_errors"])
         assert all(e["error"] for e in rep["top_errors"])
