@@ -237,6 +237,33 @@ def q_event_windows(spark, sf_dir):
     )
 
 
+def q_near_dup_components(spark, sf_dir):
+    """Connected components over EXACT shingle-Jaccard pairs (≥ 0.6, docs
+    with doc_id < 500 so the oracle's transitive closure stays bounded):
+    the iterative hash-min label propagation of operators/cc.py, checked
+    against a DuckDB recursive-CTE closure."""
+    from ocr_toolkit_spark.operators.cc import connected_components
+    from ocr_toolkit_spark.operators.dedup import shingles
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 500)
+    sh = d.select(F.col("doc_id").alias("id"), shingles(F.col("text"), 5).alias("sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .withColumn(
+            "j",
+            F.size(F.array_intersect("a.sh", "b.sh"))
+            / F.size(F.array_union("a.sh", "b.sh")),
+        )
+        .filter(F.col("j") >= 0.6)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+    return connected_components(pairs).select(
+        F.col("node").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
 def q_topk_docs(spark, sf_dir):
     """Top-k (orderBy+limit) — the slowest-docs report analog."""
     return (
@@ -595,6 +622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "method_selection_full": q_method_selection_full,
         "sessionize": q_sessionize,
         "event_windows": q_event_windows,
+        "near_dup_components": q_near_dup_components,
         "topk_docs": q_topk_docs,
         "anti_join": q_anti_join,
         "exact_dedup": q_exact_dedup,
@@ -786,6 +814,33 @@ def oracle_sql() -> dict[str, str]:
               md_avail AS markitdown_available, ocr_avail AS ocr_available
             FROM f
         """),
+        "near_dup_components": """
+            WITH RECURSIVE sh AS (
+              SELECT doc_id AS id,
+                CASE WHEN len(regexp_split_to_array(trim(lower(text)), '\\s+')) >= 5
+                     THEN list_distinct(list_transform(
+                            range(1, len(regexp_split_to_array(trim(lower(text)), '\\s+')) - 3),
+                            i -> array_to_string(regexp_split_to_array(trim(lower(text)), '\\s+')[i:i+4], ' ')))
+                     ELSE [array_to_string(regexp_split_to_array(trim(lower(text)), '\\s+'), ' ')]
+                END AS g
+              FROM documents WHERE doc_id < 500),
+            pairs AS (
+              SELECT a.id AS id_a, b.id AS id_b
+              FROM sh a JOIN sh b ON a.id < b.id
+              WHERE len(list_intersect(a.g, b.g)) * 1.0
+                    / len(list_distinct(a.g || b.g)) >= 0.6),
+            edges AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+            reach AS (
+              SELECT src, dst FROM edges
+              UNION
+              SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+              WHERE e.dst != r.src)
+            SELECT CAST(src AS BIGINT) AS doc_id,
+                   CAST(least(src, min(dst)) AS BIGINT) AS component
+            FROM reach GROUP BY src
+        """,
         "sessionize": """
             WITH tagged AS (
               SELECT user_id, ts, event_id,

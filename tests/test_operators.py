@@ -65,6 +65,44 @@ class TestDedup:
         assert pairs.get((1, 2)) == 0
 
 
+class TestConnectedComponents:
+    def test_chain_star_and_islands(self, spark):
+        from ocr_toolkit_spark.operators.cc import connected_components
+
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4),      # chain → component 1
+             (10, 11), (10, 12), (10, 13),  # star → component 10
+             (20, 21)],                    # island pair → component 20
+            "id_a int, id_b int")
+        got = {r.node: r.component for r in connected_components(pairs).collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1,
+                       10: 10, 11: 10, 12: 10, 13: 10,
+                       20: 20, 21: 20}
+
+    def test_convergence_guard(self, spark):
+        from ocr_toolkit_spark.operators.cc import connected_components
+
+        chain = spark.createDataFrame(
+            [(i, i + 1) for i in range(1, 12)], "id_a int, id_b int")
+        # diameter 11 > max_iter 2 → must refuse, not return wrong labels
+        import pytest as _pytest
+        with _pytest.raises(RuntimeError, match="did not converge"):
+            connected_components(chain, max_iter=2)
+
+    def test_near_dedup_keep_first(self, spark, dup_docs):
+        from ocr_toolkit_spark.operators.cc import near_dedup_keep_first
+        from ocr_toolkit_spark.operators.dedup import (
+            jaccard_verify, minhash_lsh_candidates)
+
+        cand = minhash_lsh_candidates(dup_docs, k=3, n_hashes=32, bands=16)
+        pairs = jaccard_verify(cand, dup_docs, k=3, threshold=0.9)
+        kept = {r.doc_id for r in near_dedup_keep_first(dup_docs, pairs).collect()}
+        # at threshold 0.9: docs 1,2,5 share identical lowercased shingles
+        # (component rep 1); doc 3's trailing '!' makes J=9/11 < 0.9 so it
+        # survives, as do the unrelated 4 and 6
+        assert kept == {1, 3, 4, 6}
+
+
 class TestSessionize:
     def test_gap_splits_sessions(self, spark):
         import datetime as dt
