@@ -659,26 +659,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # oracle_sql — DuckDB twins (identical column names + rounding)
 # ---------------------------------------------------------------------------
 
-_QUALITY_SQL = """
-WITH t AS (SELECT doc_id, trim(text) AS tx FROM documents),
+from ocr_toolkit_spark.operators.textstats import PY_WHITESPACE as _PYWS
+
+# RE2 equivalents of PYTHON's regex classes (the reference is Python re):
+# \s(Python) = RE2 \s + \v + NEL + U+001C..1F + all Unicode Z;
+# \w(Python) = [\p{L}\p{N}_]
+_CLS = r"\s\x{000B}\x{0085}\x{001C}-\x{001F}\p{Z}"
+_W = r"\p{L}\p{N}_"
+
+_QUALITY_SQL = f"""
+WITH t AS (SELECT doc_id, trim(text, '{_PYWS}') AS tx FROM documents),
 m AS (
   SELECT doc_id,
     CASE WHEN tx IS NULL OR length(tx)=0 THEN 0.0
          ELSE least(length(tx)/1000.0, 10.0)*10.0 END AS length_score,
     CASE WHEN tx IS NULL OR length(tx)=0 THEN 0.0
          ELSE least(
-            least(length(regexp_extract_all(tx,'(?m)^#+\\s'))*5.0, 30.0)
-          + least(length(regexp_extract_all(tx,'(?m)^[-*•]\\s|^\\d+\\.\\s'))*2.0, 20.0)
-          + least((length(regexp_extract_all(tx,'\\n\\s*\\n'))+1)*1.0, 20.0)
-          + least(length(list_filter(string_split(tx, chr(10)), x -> trim(x) != ''))*0.5, 30.0)
+            least(length(regexp_extract_all(tx,'(?m)^#+[{_CLS}]'))*5.0, 30.0)
+          + least(length(regexp_extract_all(tx,'(?m)^[-*•][{_CLS}]|^\\p{{Nd}}+\\.[{_CLS}]'))*2.0, 20.0)
+          + least((length(regexp_extract_all(tx,'\\n[{_CLS}]*\\n'))+1)*1.0, 20.0)
+          + least(length(list_filter(string_split(tx, chr(10)), x -> trim(x, '{_PYWS}') != ''))*0.5, 30.0)
           , 100.0) END AS structure_score,
     CASE WHEN tx IS NULL OR length(tx)=0 THEN 0.0
          ELSE least(length(list_distinct(string_split(replace(replace(lower(tx),' ',''),chr(10),''),'')))*2.0, 100.0)
          END AS diversity_score,
     CASE WHEN tx IS NULL OR length(tx)=0 THEN 1.0 ELSE
-      (CASE WHEN length(regexp_extract_all(tx, '[^\\w\\s\\n.,!?;:()\\[\\]{}""-]'))*1.0/length(tx) > 0.05 THEN 0.9 ELSE 1.0 END)
-      * (CASE WHEN length(regexp_extract_all(tx,'\\b\\w+\\b')) > 0
-               AND length(regexp_extract_all(tx,'\\b\\w\\b'))*1.0/length(regexp_extract_all(tx,'\\b\\w+\\b')) > 0.3
+      (CASE WHEN length(regexp_extract_all(tx, '[^{_W}{_CLS}\\n.,!?;:()\\[\\]{{}}""-]'))*1.0/length(tx) > 0.05 THEN 0.9 ELSE 1.0 END)
+      * (CASE WHEN length(regexp_extract_all(tx,'[{_W}]+')) > 0
+               AND length(list_filter(regexp_extract_all(tx,'[{_W}]+'), w -> length(w) = 1))*1.0
+                   / length(regexp_extract_all(tx,'[{_W}]+')) > 0.3
               THEN 0.7 ELSE 1.0 END)
       END AS error_penalty
   FROM t)
@@ -724,6 +733,11 @@ def _expand_f1(sql: str) -> str:
         .replace("{f1_ocr}", _f1("ocr_score"))
         .replace("{f1_md_diff}", _f1("md_score - ocr_score"))
         .replace("{f1_ocr_diff}", _f1("ocr_score - md_score"))
+        .replace("{PYWS}", _PYWS)
+        .replace("{CLS}", _CLS)
+        .replace("{W}", _W)
+        .replace("{{Nd}}", "{Nd}")
+        .replace("{{}}", "{}")
     )
 
 
@@ -761,21 +775,22 @@ def oracle_sql() -> dict[str, str]:
                 left(text, CAST(floor(n_chars/2) AS INT)) AS ocr_tx
               FROM documents),
             stacked AS (
-              SELECT doc_id, 'md' AS w, trim(md_tx) AS tx FROM base
+              SELECT doc_id, 'md' AS w, trim(md_tx, '{PYWS}') AS tx FROM base
               UNION ALL
-              SELECT doc_id, 'ocr' AS w, trim(ocr_tx) AS tx FROM base),
+              SELECT doc_id, 'ocr' AS w, trim(ocr_tx, '{PYWS}') AS tx FROM base),
             q AS (
               SELECT doc_id, w,
                 CASE WHEN tx IS NULL OR length(tx)=0 THEN 0.0 ELSE
                   (least(length(tx)/1000.0,10.0)*10.0*0.3
-                   + least(least(length(regexp_extract_all(tx,'(?m)^#+\\s'))*5.0,30.0)
-                         + least(length(regexp_extract_all(tx,'(?m)^[-*•]\\s|^\\d+\\.\\s'))*2.0,20.0)
-                         + least((length(regexp_extract_all(tx,'\\n\\s*\\n'))+1)*1.0,20.0)
-                         + least(length(list_filter(string_split(tx,chr(10)),x->trim(x)!=''))*0.5,30.0),100.0)*0.4
+                   + least(least(length(regexp_extract_all(tx,'(?m)^#+[{CLS}]'))*5.0,30.0)
+                         + least(length(regexp_extract_all(tx,'(?m)^[-*•][{CLS}]|^\\p{{Nd}}+\\.[{CLS}]'))*2.0,20.0)
+                         + least((length(regexp_extract_all(tx,'\\n[{CLS}]*\\n'))+1)*1.0,20.0)
+                         + least(length(list_filter(string_split(tx,chr(10)),x->trim(x, '{PYWS}')!=''))*0.5,30.0),100.0)*0.4
                    + least(length(list_distinct(string_split(replace(replace(lower(tx),' ',''),chr(10),''),'')))*2.0,100.0)*0.3)
-                  * (CASE WHEN length(regexp_extract_all(tx,'[^\\w\\s\\n.,!?;:()\\[\\]{}""-]'))*1.0/length(tx) > 0.05 THEN 0.9 ELSE 1.0 END)
-                  * (CASE WHEN length(regexp_extract_all(tx,'\\b\\w+\\b')) > 0
-                           AND length(regexp_extract_all(tx,'\\b\\w\\b'))*1.0/length(regexp_extract_all(tx,'\\b\\w+\\b')) > 0.3
+                  * (CASE WHEN length(regexp_extract_all(tx,'[^{W}{CLS}\\n.,!?;:()\\[\\]{{}}""-]'))*1.0/length(tx) > 0.05 THEN 0.9 ELSE 1.0 END)
+                  * (CASE WHEN length(regexp_extract_all(tx,'[{W}]+')) > 0
+                           AND length(list_filter(regexp_extract_all(tx,'[{W}]+'), ww -> length(ww) = 1))*1.0
+                               / length(regexp_extract_all(tx,'[{W}]+')) > 0.3
                           THEN 0.7 ELSE 1.0 END)
                 END AS ts
               FROM stacked),

@@ -21,20 +21,49 @@ from pyspark.sql import functions as F
 QUALITY_SPECIAL_CHAR_THRESHOLD = 0.05  # reference config.py:30-34
 QUALITY_SHORT_WORD_THRESHOLD = 0.3
 
+# Python str.strip()'s whitespace set — the reference trims with .strip()
+# (quality_evaluator.py:66), and Spark's F.trim strips ONLY ASCII spaces;
+# a leading '\n' or trailing '\t' shifted length_score (fuzz-found, r2).
+PY_WHITESPACE = "".join(
+    chr(c)
+    for c in (0x09, 0x0A, 0x0B, 0x0C, 0x0D, 0x1C, 0x1D, 0x1E, 0x1F, 0x20,
+              0x85, 0xA0, 0x1680,
+              *range(0x2000, 0x200B), 0x2028, 0x2029, 0x202F, 0x205F, 0x3000)
+)
+
+
+def py_strip(t: Column) -> Column:
+    """Python-semantics strip (both-ends trim over PY_WHITESPACE)."""
+    return F.btrim(t, F.lit(PY_WHITESPACE))
+
 
 def _nonblank_lines(t: Column) -> Column:
-    return F.size(F.filter(F.split(t, "\n"), lambda x: F.trim(x) != ""))
+    return F.size(
+        F.filter(F.split(t, "\n"), lambda x: F.btrim(x, F.lit(PY_WHITESPACE)) != "")
+    )
+
+
+# Java char-class innards equal to PYTHON's regex classes (the reference is
+# Python re): \s(Python) = Unicode White_Space + U+001C..1F; \w(Python) =
+# [\p{L}\p{N}_] (letters incl. CJK, all numerics, underscore — NOT marks,
+# which Java's (?U)\w would wrongly include).
+_WS = r"\s\u0085\u001c-\u001f\p{Z}"
+_WORD = r"\p{L}\p{N}_"
 
 
 def quality_columns(t: Column, include_repeat_penalty: bool = True) -> dict[str, Column]:
     """The reference text-quality formula as pure column expressions.
-    Returns the component columns; caller selects/aliases."""
-    t = F.trim(t)
+    Returns the component columns; caller selects/aliases. Regex classes
+    mirror PYTHON semantics exactly (fuzz-verified vs oracle.quality_score
+    over CJK/control-char alphabets)."""
+    t = py_strip(t)
     empty = (t.isNull()) | (F.length(t) == 0)
     length_score = F.least(F.length(t) / 1000.0, F.lit(10.0)) * 10.0
-    headers = F.regexp_count(t, F.lit(r"(?m)^#+\s"))
-    lists_ = F.regexp_count(t, F.lit(r"(?m)^[-*•]\s|^\d+\.\s"))
-    paras = F.regexp_count(t, F.lit(r"\n\s*\n")) + 1
+    headers = F.regexp_count(t, F.lit(rf"(?m)^#+[{_WS}]"))
+    lists_ = F.regexp_count(
+        t, F.lit(rf"(?m)^[-*•][{_WS}]|^\p{{Nd}}+\.[{_WS}]")
+    )
+    paras = F.regexp_count(t, F.lit(rf"\n[{_WS}]*\n")) + 1
     nonblank = _nonblank_lines(t)
     structure_score = F.least(
         F.least(headers * 5.0, F.lit(30.0))
@@ -49,10 +78,14 @@ def quality_columns(t: Column, include_repeat_penalty: bool = True) -> dict[str,
     diversity_score = F.least(uniq * 2.0, F.lit(100.0))
 
     special_ratio = F.regexp_count(
-        t, F.lit(r'[^\w\s\n.,!?;:()\[\]{}""' "-]")
+        t, F.lit(rf'[^{_WORD}{_WS}\n.,!?;:()\[\]{{}}""' "-]")
     ) / F.length(t)
-    words = F.regexp_count(t, F.lit(r"\b\w+\b"))
-    short_words = F.regexp_count(t, F.lit(r"\b\w\b"))
+    # \b\w+\b counts == maximal word-char runs (and runs of length 1 for
+    # the short-word term) — expressed run-based so the RE2 twin can use
+    # the identical formulation (RE2 \b uses ASCII \w)
+    word_runs = F.regexp_extract_all(t, F.lit(rf"([{_WORD}]+)"), 1)
+    words = F.size(word_runs)
+    short_words = F.size(F.filter(word_runs, lambda w: F.length(w) == 1))
     short_ratio = F.when(words > 0, short_words / words).otherwise(F.lit(0.0))
 
     penalty = F.lit(1.0)

@@ -26,6 +26,32 @@ def _assert_docs_match(docs, with_images=True, pages=None):
         assert r["success"] == g.success and r["error"] == g.error, r["doc_id"]
 
 
+def test_fuzz_quality_formula(spark):
+    """T10 must equal the oracle (Python re semantics) on hostile text:
+    CJK word chars, control-char whitespace, ideographic space, unicode
+    digits. r2 caught two real divergences here: F.trim strips only ASCII
+    spaces (vs Python .strip()), and Java ASCII \\w vs Python unicode \\w."""
+    from ocr_toolkit_spark.operators.textstats import with_quality
+
+    rng = random.Random(31337)
+    alpha = (string.ascii_letters + string.digits
+             + " \n\t#-*.•!@$%^&*(){}[]\"'中文字?!;:,\x1c\x1f\xa0　")
+    texts = ["".join(rng.choice(alpha) for _ in range(rng.randrange(0, 250)))
+             for _ in range(700)]
+    texts += ["1. numbered\n2. list", "#no space", "# with space", "\n\n\n\n",
+              "   ", "a" * 5, "中 a 中", "١٢٣ arabic digits", "①②③",
+              "\nleading newline", "trailing tab\t"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "id int, text string")
+    rows = with_quality(df, "text", include_repeat_penalty=True).collect()
+    for r in rows:
+        exp = oracle.quality_score(texts[r.id])
+        for k in ("length_score", "structure_score", "diversity_score",
+                  "error_penalty", "total_score"):
+            assert abs(getattr(r, k) - exp[k]) < 1e-9, (
+                r.id, k, getattr(r, k), exp[k], texts[r.id][:60])
+
+
 def test_fuzz_html_control_chars():
     rng = random.Random(99991)
     alpha = (string.ascii_letters + string.digits
