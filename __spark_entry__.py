@@ -237,6 +237,25 @@ def q_event_windows(spark, sf_dir):
     )
 
 
+def q_stopword_quality(spark, sf_dir):
+    """Stopword-ratio quality signal per (lang, natural-text verdict):
+    the training-data filter decision (prose vs gibberish) aggregated so
+    the oracle twin stays order-free."""
+    from ocr_toolkit_spark.operators.textstats import stopword_ratio
+
+    d = _docs(spark, sf_dir)
+    r = F.round(stopword_ratio(F.col("text")), 4)
+    return (
+        d.select("lang", r.alias("sw"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("sw"), 4).alias("avg_stopword_ratio"),
+            F.sum((F.col("sw") >= 0.15).cast("long")).alias("prose_docs"),
+        )
+    )
+
+
 def q_near_dup_components(spark, sf_dir):
     """Connected components over EXACT shingle-Jaccard pairs (≥ 0.6, docs
     with doc_id < 500 so the oracle's transitive closure stays bounded):
@@ -623,6 +642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "event_windows": q_event_windows,
         "near_dup_components": q_near_dup_components,
+        "stopword_quality": q_stopword_quality,
         "topk_docs": q_topk_docs,
         "anti_join": q_anti_join,
         "exact_dedup": q_exact_dedup,
@@ -829,6 +849,20 @@ def oracle_sql() -> dict[str, str]:
               md_avail AS markitdown_available, ocr_avail AS ocr_available
             FROM f
         """),
+        "stopword_quality": """
+            WITH r AS (
+              SELECT lang,
+                round(CASE WHEN length(regexp_extract_all(lower(text), '[\\p{L}\\p{N}_]+')) > 0
+                     THEN length(list_filter(regexp_extract_all(lower(text), '[\\p{L}\\p{N}_]+'),
+                                             w -> w IN ('the', 'a', 'an', 'and', 'or', 'but', 'of', 'to', 'in', 'on', 'at', 'for', 'with', 'by', 'from', 'as', 'is', 'are', 'was', 'were', 'be', 'been', 'it', 'its', 'this', 'that', 'these', 'those', 'he', 'she', 'they', 'we', 'you', 'i', 'not', 'no', 'do', 'does', 'did', 'have', 'has', 'had', 'will', 'would', 'can', 'could', 'their', 'his', 'her'))) * 1.0
+                          / length(regexp_extract_all(lower(text), '[\\p{L}\\p{N}_]+'))
+                     ELSE 0.0 END, 4) AS sw
+              FROM documents)
+            SELECT lang, count(*) AS n_docs,
+                   round(avg(sw), 4) AS avg_stopword_ratio,
+                   CAST(sum(CASE WHEN sw >= 0.15 THEN 1 ELSE 0 END) AS BIGINT) AS prose_docs
+            FROM r GROUP BY lang
+        """,
         "near_dup_components": """
             WITH RECURSIVE sh AS (
               SELECT doc_id AS id,

@@ -133,6 +133,28 @@ def lang_id(t: Column) -> Column:
     )
 
 
+# Most-frequent English function words (public knowledge) — AS DATA, like
+# the T11 preference tables.
+EN_STOPWORDS: tuple[str, ...] = (
+    "the", "a", "an", "and", "or", "but", "of", "to", "in", "on", "at",
+    "for", "with", "by", "from", "as", "is", "are", "was", "were", "be",
+    "been", "it", "its", "this", "that", "these", "those", "he", "she",
+    "they", "we", "you", "i", "not", "no", "do", "does", "did", "have",
+    "has", "had", "will", "would", "can", "could", "their", "his", "her",
+)
+
+
+def stopword_ratio(t: Column, stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:
+    """Stopword-token ratio over lowercased word runs — the classic
+    natural-text-vs-gibberish quality signal for training-data filtering
+    (a high ratio marks prose; near-zero marks code/tables/boilerplate
+    soup). NULL-safe: 0.0 when the text has no word tokens."""
+    runs = F.regexp_extract_all(F.lower(t), F.lit(rf"([{_WORD}]+)"), 1)
+    n = F.size(runs)
+    sw = F.size(F.filter(runs, lambda w: w.isin(*stopwords)))
+    return F.when(n > 0, sw / n).otherwise(F.lit(0.0))
+
+
 def token_count(t: Column) -> Column:
     """Word-regex token model (`\\w+`) — the simple whitespace-ish counter."""
     return F.regexp_count(t, F.lit(r"\w+"))
