@@ -26,6 +26,30 @@ def _assert_docs_match(docs, with_images=True, pages=None):
         assert r["success"] == g.success and r["error"] == g.error, r["doc_id"]
 
 
+def test_pipeline_quality_over_rendered_output(spark, tmpdir_path):
+    """E2E T10 loop: extract → render_markdown_col → quality columns must
+    equal the oracle's extract → render → quality_score per document
+    (markdown bytes AND scores), on a fresh-seed corpus."""
+    import os
+
+    from ocr_toolkit_spark.fixtures import generate_documents, write_corpus
+    from ocr_toolkit_spark.operators.extract import extract_spans
+    from ocr_toolkit_spark.pipeline import with_output_quality
+
+    corpus = os.path.join(tmpdir_path, "docs.parquet")
+    write_corpus(corpus, n_docs=200, seed=777)
+    docs = dict(generate_documents(200, 777))
+    q = with_output_quality(extract_spans(spark.read.parquet(corpus)))
+    for r in q.select("doc_id", "markdown", "total_score",
+                      "error_penalty").collect():
+        g = oracle.extract_document(r["doc_id"], docs[r["doc_id"]])
+        md = oracle.render_markdown(g)
+        exp = oracle.quality_score(md)
+        assert r["markdown"] == md, r["doc_id"]
+        assert abs(r["total_score"] - exp["total_score"]) < 1e-9, r["doc_id"]
+        assert abs(r["error_penalty"] - exp["error_penalty"]) < 1e-9, r["doc_id"]
+
+
 def test_fuzz_quality_formula(spark):
     """T10 must equal the oracle (Python re semantics) on hostile text:
     CJK word chars, control-char whitespace, ideographic space, unicode
