@@ -1,0 +1,123 @@
+"""DIRECT parity against the reference's own Python code (not just our
+oracle's re-encoding of its rules): load the reference functions from
+/root/reference at test time and fuzz ours against them.
+
+The reference package does not import wholesale in this sandbox (its
+processors.base chain needs modules absent from the public snapshot), so
+each test loads exactly the unit it checks: page_selection.py imports
+standalone; the Excel cell formatter is extracted by AST from
+excel_processor.py and exec'd with only `datetime` injected.
+"""
+
+from __future__ import annotations
+
+import ast
+import datetime
+import importlib.util
+import random
+from pathlib import Path
+
+import pytest
+
+from ocr_toolkit_spark import oracle
+from ocr_toolkit_spark.functions.pages import parse_pages
+
+REF = Path("/root/reference/ocr_toolkit")
+
+
+def _load_page_selection():
+    import sys
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_page_selection", REF / "utils" / "page_selection.py")
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[spec.name] = mod  # dataclass processing needs registration
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _load_format_cell_value():
+    tree = ast.parse((REF / "processors" / "excel_processor.py").read_text())
+    for node in ast.walk(tree):
+        if isinstance(node, ast.FunctionDef) and node.name == "_format_cell_value":
+            src = ast.get_source_segment(
+                (REF / "processors" / "excel_processor.py").read_text(), node)
+            ns = {"datetime": datetime.datetime}
+            exec("def _f(self, cell_value):" + src.split(":", 1)[1], ns)
+            return lambda v: ns["_f"](None, v)
+    raise AssertionError("_format_cell_value not found in reference")
+
+
+class TestParsePagesDirect:
+    def test_matches_reference_on_fuzzed_specs(self):
+        ref = _load_page_selection()
+        rng = random.Random(11)
+        specs = [None, "", "  ", ",", "1", "1-5", "5-1", "1-5,10,20-25",
+                 "1 - 3", "2-2", "0", "-1", "a", "1-b", "1-", "-"]
+        for _ in range(300):
+            parts = []
+            for _ in range(rng.randrange(1, 4)):
+                a = rng.randrange(-2, 30)
+                parts.append(f"{a}-{rng.randrange(-2, 30)}"
+                             if rng.random() < 0.5 else str(a))
+            specs.append(",".join(parts))
+        for spec in specs:
+            try:
+                expected = ref.parse_pages_arg(spec)
+                ref_err = None
+            except (ValueError, TypeError) as e:
+                ref_err = type(e)
+            try:
+                got = parse_pages(spec)
+                our_err = None
+            except ValueError:
+                our_err = ValueError
+            if ref_err is not None:
+                assert our_err is not None, spec
+                continue
+            assert our_err is None, spec
+            if expected is None:
+                assert got is None, spec
+            else:
+                # reference returns 0-based indices; engine 1-based pages
+                assert got == frozenset(i + 1 for i in expected.indices), spec
+
+
+class TestCellFormatDirect:
+    def test_matches_reference_on_typed_values(self):
+        """oracle.format_cell over our string-encoded cells must equal the
+        reference formatter over the original TYPED values for every type
+        it handles (None / datetime / int / float / str)."""
+        ref_fmt = _load_format_cell_value()
+        rng = random.Random(7)
+        # NOTE: strings that LOOK numeric ("3.0") are excluded — the span
+        # model is stringly typed, so the encoding cannot distinguish the
+        # string "3.0" from the float 3.0 (documented, SPANS.md §3.5
+        # type-by-sniffing); every representable typed value must agree.
+        typed = [None, 0, 42, -7, 10**19, 3.0, -0.0, 3.14159, 2.5, 1e18,
+                 123456.789, datetime.datetime(2024, 1, 2, 3, 4, 5),
+                 "plain", "a|b", "x" * 150, "", "  spaced  ", "nan"]
+        typed += [rng.randrange(-10**9, 10**9) for _ in range(100)]
+        typed += [round(rng.uniform(-1e6, 1e6), rng.randrange(0, 8))
+                  for _ in range(150)]
+        for v in typed:
+            # our span encoding of a typed cell (fixtures discipline):
+            # datetime → ISO-T, None → '', numbers → repr, str as-is
+            if v is None:
+                enc = ""
+            elif isinstance(v, datetime.datetime):
+                enc = v.strftime("%Y-%m-%dT%H:%M:%S")
+            else:
+                enc = str(v)
+            assert oracle.format_cell(enc) == ref_fmt(v), (v, enc)
+
+    def test_reference_float_repr_edge(self):
+        """str(float) encodings that stop looking like float literals
+        (scientific repr) fall to the string rule — documented encoding
+        boundary, asserted so a repr change would surface."""
+        ref_fmt = _load_format_cell_value()
+        v = 1e25  # str() -> '1e+25'; reference formats the FLOAT: int str
+        assert ref_fmt(v) == str(int(v))
+        # our encoding str(1e25)='1e+25' has a '+' exponent — matches the
+        # float regex and reproduces the same rendering
+        assert oracle.format_cell(str(v)) == str(int(v))
