@@ -83,6 +83,53 @@ class TestParsePagesDirect:
                 assert got == frozenset(i + 1 for i in expected.indices), spec
 
 
+def _load_processing_stats():
+    import sys
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_stats", REF / "processors" / "stats.py")
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[spec.name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+class TestRunReportDirect:
+    def test_matches_reference_processing_stats(self, spark):
+        """A1/A2: feed identical per-doc results to the reference's
+        ProcessingStats accumulator and to pipeline.run_report; every shared
+        metric must agree (reference reports success_rate in percent, the
+        engine as a fraction — documented scale difference)."""
+        from ocr_toolkit_spark.pipeline import run_report
+
+        ref = _load_processing_stats()
+        st = ref.ProcessingStats()
+        rng = random.Random(5)
+        rows = []
+        for i in range(400):
+            method = rng.choice(["text", "html", "sheet", "paged", "error"])
+            success = method != "error" and rng.random() > 0.1
+            elapsed = round(rng.uniform(0.2, 9.0), 3)
+            spans = rng.randrange(0, 30) if success else 0
+            st.add_result(method, success, elapsed / 1000.0, pages=spans)
+            rows.append((f"d{i}", success, "" if success else "boom",
+                         method, spans, spans * 10, elapsed))
+        df = spark.createDataFrame(
+            rows, "doc_id string, success boolean, error string, "
+                  "method string, n_spans int, n_chars long, elapsed_ms double")
+        rep = run_report(df)
+        summary = st.get_summary()
+        assert rep["docs"] == summary["total_processed"]
+        assert rep["succeeded"] == summary["successful_processed"]
+        assert rep["failed"] == summary["failed_processed"]
+        assert abs(rep["success_rate"] * 100 - summary["success_rate"]) < 1e-9
+        assert abs(rep["avg_elapsed_ms"] / 1000.0
+                   - summary["average_time_per_file"]) < 1e-9
+        assert {m: v["docs"] for m, v in rep["by_method"].items()} == \
+            summary["method_stats"]
+        assert rep["spans"] == summary["total_pages"]
+
+
 class TestCellFormatDirect:
     def test_matches_reference_on_typed_values(self):
         """oracle.format_cell over our string-encoded cells must equal the
