@@ -83,6 +83,108 @@ class TestParsePagesDirect:
                 assert got == frozenset(i + 1 for i in expected.indices), spec
 
 
+def _load_quality_evaluator():
+    """Package shim: quality_evaluator does `from . import config`, and the
+    snapshot's full package does not import — load just the pair."""
+    import sys
+    import types
+
+    if "refpkg.quality_evaluator" not in sys.modules:
+        pkg = types.ModuleType("refpkg")
+        pkg.__path__ = [str(REF)]
+        sys.modules["refpkg"] = pkg
+        for name, path in [("refpkg.config", REF / "config.py"),
+                           ("refpkg.quality_evaluator",
+                            REF / "quality_evaluator.py")]:
+            spec = importlib.util.spec_from_file_location(name, path)
+            mod = importlib.util.module_from_spec(spec)
+            sys.modules[name] = mod
+            spec.loader.exec_module(mod)
+    return sys.modules["refpkg.quality_evaluator"].QualityEvaluator()
+
+
+class TestQualityDirect:
+    KEYS = ("length_score", "structure_score", "diversity_score",
+            "error_penalty", "total_score")
+
+    def _texts(self):
+        import string
+
+        rng = random.Random(424243)
+        alpha = (string.ascii_letters + string.digits
+                 + " \n\t#-*.•!@$%^&*(){}[]\"'中文字?!;:,\x1c\x1f\xa0　")
+        texts = ["".join(rng.choice(alpha)
+                         for _ in range(rng.randrange(0, 250)))
+                 for _ in range(400)]
+        texts += ["1. numbered\n2. list", "#x", "# x", "", "   ", "a" * 5,
+                  "中 a 中", "\nlead", "trail\t", "many words " * 80]
+        return texts
+
+    def test_oracle_matches_reference(self):
+        """oracle.quality_score IS the reference formula: fuzz both over
+        hostile text, every component equal at 1e-9."""
+        qe = _load_quality_evaluator()
+        for t in self._texts():
+            exp = qe.calculate_text_quality_score(t)
+            got = oracle.quality_score(t)
+            for k in self.KEYS:
+                assert abs(got[k] - exp[k]) < 1e-9, (k, t[:60])
+
+    def test_spark_matches_reference(self, spark):
+        """...and so do the Spark column expressions, end to end."""
+        from ocr_toolkit_spark.operators.textstats import with_quality
+
+        qe = _load_quality_evaluator()
+        texts = self._texts()
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "id int, text string")
+        for r in with_quality(df, "text").collect():
+            exp = qe.calculate_text_quality_score(texts[r["id"]])
+            for k in self.KEYS:
+                assert abs(getattr(r, k) - exp[k]) < 1e-9, (k, r["id"])
+
+    def test_compare_methods_matches_reference(self, spark):
+        """T11 against the reference's compare_results: same (md, ocr,
+        file_path) inputs → same chosen_method, availability and scores
+        (ours fixed-point-rounds to 4 decimals; compared at 1e-4)."""
+        from pyspark.sql import functions as F
+
+        from ocr_toolkit_spark.operators.textstats import compare_methods
+
+        qe = _load_quality_evaluator()
+        rng = random.Random(99)
+        good = ("# Title\n\nA normal paragraph with plenty of words here.\n\n"
+                "- one\n- two\n\nMore prose of a reasonable length follows.")
+        cases = []
+        for i in range(60):
+            md_ok = rng.random() > 0.3
+            ocr_ok = rng.random() > 0.3
+            md_tx = rng.choice([good, good[:50], "", "short", good * 2])
+            ocr_tx = rng.choice([good, good[:70], "", "tiny", good[:120]])
+            ext = rng.choice([".pdf", ".docx", ".jpg", ".html", ".txt", ".TIF"])
+            cases.append((i, md_ok, md_tx, ocr_ok, ocr_tx, ext))
+        df = spark.createDataFrame(
+            cases, "id int, md_ok boolean, md_tx string, ocr_ok boolean, "
+                   "ocr_tx string, ext string")
+        cols = compare_methods(F.col("md_ok"), F.col("md_tx"),
+                               F.col("ocr_ok"), F.col("ocr_tx"), F.col("ext"))
+        got = {r["id"]: r for r in df.select(
+            "id", *[c.alias(n) for n, c in cols.items()]).collect()}
+        for i, md_ok, md_tx, ocr_ok, ocr_tx, ext in cases:
+            exp = qe.compare_results(
+                {"success": md_ok, "content": md_tx},
+                {"success": ocr_ok, "content": ocr_tx},
+                f"/docs/file{i}{ext}")
+            r = got[i]
+            assert r["chosen_method"] == exp["chosen_method"], i
+            assert r["markitdown_available"] == bool(exp["markitdown_available"]), i
+            assert r["ocr_available"] == bool(exp["ocr_available"]), i
+            assert abs(r["markitdown_score"] - exp["markitdown_score"]) < 1e-4, i
+            assert abs(r["ocr_score"] - exp["ocr_score"]) < 1e-4, i
+            if not (exp["markitdown_available"] and exp["ocr_available"]):
+                assert r["selection_reason"] == exp["selection_reason"], i
+
+
 def _load_processing_stats():
     import sys
 
