@@ -28,8 +28,15 @@ def with_session_seq(
     user_col: str = "user_id",
     ts_col: str = "ts",
     gap_minutes: int = 30,
+    tiebreak_col: str | None = "event_id",
 ) -> DataFrame:
-    w = Window.partitionBy(user_col).orderBy(ts_col, "event_id")
+    # deterministic window order needs a tiebreaker for equal timestamps;
+    # fall back to ts-only ordering when the frame has no such column
+    # (ADVICE r2: the hardcoded "event_id" broke the generic API)
+    order = [ts_col]
+    if tiebreak_col and tiebreak_col in events.columns:
+        order.append(tiebreak_col)
+    w = Window.partitionBy(user_col).orderBy(*order)
     prev = F.lag(F.col(ts_col)).over(w)
     # NTZ timestamps cannot cast straight to long; the double cast yields
     # epoch seconds. All uses are DIFFERENCES, so the session-timezone

@@ -59,9 +59,12 @@ def quality_columns(t: Column, include_repeat_penalty: bool = True) -> dict[str,
     t = py_strip(t)
     empty = (t.isNull()) | (F.length(t) == 0)
     length_score = F.least(F.length(t) / 1000.0, F.lit(10.0)) * 10.0
-    headers = F.regexp_count(t, F.lit(rf"(?m)^#+[{_WS}]"))
+    # (?d) = Java UNIX_LINES: multiline ^ anchors after \n ONLY, matching
+    # Python re and the RE2/DuckDB twin. Without it Java ^ also fires after
+    # \r, ,  ,   → silent parity break on \r corpora (ADVICE r2).
+    headers = F.regexp_count(t, F.lit(rf"(?dm)^#+[{_WS}]"))
     lists_ = F.regexp_count(
-        t, F.lit(rf"(?m)^[-*•][{_WS}]|^\p{{Nd}}+\.[{_WS}]")
+        t, F.lit(rf"(?dm)^[-*•][{_WS}]|^\p{{Nd}}+\.[{_WS}]")
     )
     paras = F.regexp_count(t, F.lit(rf"\n[{_WS}]*\n")) + 1
     nonblank = _nonblank_lines(t)

@@ -118,6 +118,13 @@ def run_extraction(
         # broadcast anti-join: the committed set is tiny (≤ n_buckets rows)
         docs = docs.join(F.broadcast(done), "partition_id", "left_anti")
 
+    # Per-partition doc counts for the lineage manifest, captured BEFORE
+    # salting/repartitioning: salt needs F.size(spans), so counting the
+    # post-salt frame would re-scan the heavy spans column and replay the
+    # repartition (ADVICE r2). This projection keeps the count job a
+    # doc_id-only pruned scan (partition_id is a function of doc_id).
+    part_counts = docs.select("partition_id")
+
     docs = salt_oversized(docs, salt_threshold, salt_k)
     shuffle_n = parallelism or int(spark.conf.get("spark.sql.shuffle.partitions"))
     docs = docs.repartition(shuffle_n, "partition_id", "salt")
@@ -145,14 +152,16 @@ def run_extraction(
     m = obs.get  # already collected by the write action — zero extra jobs
 
     # Per-partition lineage rows (the manifest analog): partition presence +
-    # exact doc_count from the PRE-extraction input — a doc_id-only pruned
-    # scan (partition_id is a function of doc_id). Extraction is strictly
-    # 1 doc → 1 row (error docs still produce rows), so input doc_count
-    # equals output doc_count. ≤ n_buckets rows → collected to the driver
-    # and appended as a local DataFrame; the lineage append reads nothing.
+    # exact doc_count from the PRE-salt input projection — a doc_id-only
+    # pruned scan (partition_id is a function of doc_id). Extraction is
+    # strictly 1 doc → 1 row (error docs still produce rows), so input
+    # doc_count equals output doc_count. ≤ n_buckets rows → collected to the
+    # driver and appended as a local DataFrame; the append reads nothing.
     parts = sorted(
         (int(r["partition_id"]), int(r["n"]))
-        for r in docs.groupBy("partition_id").agg(F.count("*").alias("n")).collect()
+        for r in part_counts.groupBy("partition_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
     )
     n_new = len(parts)
     rows = [(run_id, pid, n, None, None, None) for pid, n in parts]

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import ast
 import datetime
+import hashlib
 import importlib.util
 import random
 from pathlib import Path
@@ -24,12 +25,39 @@ from ocr_toolkit_spark.functions.pages import parse_pages
 
 REF = Path("/root/reference/ocr_toolkit")
 
+# The reference tree is UNTRUSTED public content; these tests execute small
+# units of it for parity evidence. Pin the exact bytes that are allowed to
+# run (ADVICE r2): any change to the files aborts the test instead of
+# executing unreviewed code.
+_PINNED_SHA256 = {
+    "utils/page_selection.py":
+        "ec87d9e7974facd5dd89a28c93f618b7590d8ed0baa0623d6a1ac26d7999e78b",
+    "processors/excel_processor.py":
+        "a59aebd42f76bc574ddac923712d5a7842bac86bef2471e89b4a8b351dbc8cfd",
+    "config.py":
+        "4733f54e41f0f95d1e7f61a7057d5b91c138c5c8cef59af05cb05759338123ce",
+    "quality_evaluator.py":
+        "7f8fc1e31358c5b66fcae3dfde6e9d9819db09ddcf12223cceca144fe440d802",
+    "processors/stats.py":
+        "b98451e8de85bf0b14c9db93f24bf94879ee72c354f48f800a1c0fdb591522fd",
+}
+
+
+def _pinned(rel: str) -> Path:
+    """Return the reference path after verifying its content hash."""
+    path = REF / rel
+    digest = hashlib.sha256(path.read_bytes()).hexdigest()
+    assert digest == _PINNED_SHA256[rel], (
+        f"reference file {rel} changed (sha256 {digest}); refusing to exec"
+    )
+    return path
+
 
 def _load_page_selection():
     import sys
 
     spec = importlib.util.spec_from_file_location(
-        "ref_page_selection", REF / "utils" / "page_selection.py")
+        "ref_page_selection", _pinned("utils/page_selection.py"))
     mod = importlib.util.module_from_spec(spec)
     sys.modules[spec.name] = mod  # dataclass processing needs registration
     spec.loader.exec_module(mod)
@@ -37,11 +65,11 @@ def _load_page_selection():
 
 
 def _load_format_cell_value():
-    tree = ast.parse((REF / "processors" / "excel_processor.py").read_text())
+    text = _pinned("processors/excel_processor.py").read_text()
+    tree = ast.parse(text)
     for node in ast.walk(tree):
         if isinstance(node, ast.FunctionDef) and node.name == "_format_cell_value":
-            src = ast.get_source_segment(
-                (REF / "processors" / "excel_processor.py").read_text(), node)
+            src = ast.get_source_segment(text, node)
             ns = {"datetime": datetime.datetime}
             exec("def _f(self, cell_value):" + src.split(":", 1)[1], ns)
             return lambda v: ns["_f"](None, v)
@@ -93,9 +121,9 @@ def _load_quality_evaluator():
         pkg = types.ModuleType("refpkg")
         pkg.__path__ = [str(REF)]
         sys.modules["refpkg"] = pkg
-        for name, path in [("refpkg.config", REF / "config.py"),
+        for name, path in [("refpkg.config", _pinned("config.py")),
                            ("refpkg.quality_evaluator",
-                            REF / "quality_evaluator.py")]:
+                            _pinned("quality_evaluator.py"))]:
             spec = importlib.util.spec_from_file_location(name, path)
             mod = importlib.util.module_from_spec(spec)
             sys.modules[name] = mod
@@ -111,8 +139,11 @@ class TestQualityDirect:
         import string
 
         rng = random.Random(424243)
+        # \r \x85  : Java multiline ^ anchors after these unless
+        # UNIX_LINES — locks the (?dm) fix (ADVICE r2 medium)
         alpha = (string.ascii_letters + string.digits
-                 + " \n\t#-*.•!@$%^&*(){}[]\"'中文字?!;:,\x1c\x1f\xa0　")
+                 + " \n\t#-*.•!@$%^&*(){}[]\"'中文字?!;:,\x1c\x1f\xa0　"
+                 + "\r\x85\u2028 ")
         texts = ["".join(rng.choice(alpha)
                          for _ in range(rng.randrange(0, 250)))
                  for _ in range(400)]
@@ -189,7 +220,7 @@ def _load_processing_stats():
     import sys
 
     spec = importlib.util.spec_from_file_location(
-        "ref_stats", REF / "processors" / "stats.py")
+        "ref_stats", _pinned("processors/stats.py"))
     mod = importlib.util.module_from_spec(spec)
     sys.modules[spec.name] = mod
     spec.loader.exec_module(mod)
