@@ -262,10 +262,12 @@ def q_near_dup_components(spark, sf_dir):
     the iterative hash-min label propagation of operators/cc.py, checked
     against a DuckDB recursive-CTE closure."""
     from ocr_toolkit_spark.operators.cc import connected_components
-    from ocr_toolkit_spark.operators.dedup import shingles
+    from ocr_toolkit_spark.operators.dedup import shingle_frame
+    from ocr_toolkit_spark.operators.skew import materialize
 
     d = _docs(spark, sf_dir).filter(F.col("doc_id") < 500)
-    sh = d.select(F.col("doc_id").alias("id"), shingles(F.col("text"), 5).alias("sh"))
+    # materialized: the all-pairs join references sh twice (a/b sides)
+    sh = materialize(shingle_frame(d, "doc_id", "text", 5))
     a, b = sh.alias("a"), sh.alias("b")
     pairs = (
         a.join(b, F.col("a.id") < F.col("b.id"))

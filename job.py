@@ -57,6 +57,10 @@ def main(argv: list[str] | None = None) -> int:
                         "(reference --pages semantics)")
     p.add_argument("--buckets", type=int, default=64)
     p.add_argument("--salt-threshold", type=int, default=500)
+    p.add_argument("--doc-budget-ms", type=float, default=None,
+                   help="per-document time budget for Python kernels; an "
+                        "over-budget doc becomes an error row (reference "
+                        "per-file timeout analog)")
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
 
@@ -83,6 +87,7 @@ def main(argv: list[str] | None = None) -> int:
         pages=args.pages,
         n_buckets=args.buckets,
         salt_threshold=args.salt_threshold,
+        doc_budget_ms=args.doc_budget_ms,
     )
     result = tio.read_extracted(spark, args.output)
     summary = extraction_stats(result)

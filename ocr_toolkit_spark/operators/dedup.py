@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
-from .skew import DEFAULT_MAX_BUCKET, star_capped_pairs
+from .skew import DEFAULT_MAX_BUCKET, materialize, star_capped_pairs
 
 
 # --- exact / normalized ------------------------------------------------------
@@ -67,16 +67,82 @@ def exact_dedup_keep_first(
 # --- shingles / MinHash LSH ---------------------------------------------------
 
 
-def shingles(t: Column, k: int = 5) -> Column:
-    """Word k-shingles as an array column (JVM-side; deduplicated)."""
-    tokens = F.split(F.trim(F.lower(t)), r"\s+")
+def tokens_col(t: Column) -> Column:
+    """Lowercased whitespace tokens — the shared tokenizer of the dedup ops."""
+    return F.split(F.trim(F.lower(t)), r"\s+")
+
+
+def shingles_from_tokens(tokens: Column, k: int = 5, distinct: bool = True) -> Column:
+    """Word k-shingles from an ALREADY-MATERIALIZED token array column.
+
+    `tokens` must be a plain column reference (not the split expression):
+    the transform lambda references it once per shingle, and Catalyst does
+    not CSE an outer expression into a lambda body — passing the raw
+    `split(...)` expression re-runs the regex split PER SHINGLE (measured
+    r3: 7× the whole pipeline cost at sf0.1). Use `shingle_frame`.
+
+    `distinct=True` (set semantics) for Jaccard's array set algebra;
+    the MinHash signature path passes False — min() is insensitive to
+    duplicates, so the array_distinct pass is pure waste there."""
     n = F.size(tokens)
-    return F.when(n >= k, F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), n - k),
-            lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, k)),
-        )
-    )).otherwise(F.array(F.concat_ws(" ", tokens)))
+    arr = F.transform(
+        F.sequence(F.lit(0), n - k),
+        lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, k)),
+    )
+    if distinct:
+        arr = F.array_distinct(arr)
+    return F.when(n >= k, arr).otherwise(F.array(F.concat_ws(" ", tokens)))
+
+
+def shingle_frame(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    distinct: bool = True,
+) -> DataFrame:
+    """(id, sh) with the token split in its OWN projection. CollapseProject
+    keeps a multiply-referenced non-cheap alias in a separate project, so
+    the regex split runs once per document instead of once per shingle
+    (the plan shows exactly one `split(`)."""
+    tok = df.select(
+        F.col(id_col).alias("id"), tokens_col(F.col(text_col)).alias("_toks")
+    )
+    return tok.select(
+        "id", shingles_from_tokens(F.col("_toks"), k, distinct).alias("sh")
+    )
+
+
+def exploded_shingle_frame(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    distinct: bool = False,
+) -> DataFrame:
+    """(id, sh) one row per shingle, with the explode FUSED into the select
+    that consumes the token column.
+
+    Exploding `shingle_frame(...).select(explode("sh"))` instead is a
+    measured 6× regression: InferFiltersFromGenerate synthesizes a
+    `size(sh) > 0` filter under the Generate and predicate pushdown
+    re-inlines the whole shingle-transform (split per shingle) into it.
+    With the explode fused, the inferred filter stays above the token
+    projection and the split still runs once per document."""
+    tok = df.select(
+        F.col(id_col).alias("id"), tokens_col(F.col(text_col)).alias("_toks")
+    )
+    return tok.select(
+        "id",
+        F.explode(shingles_from_tokens(F.col("_toks"), k, distinct)).alias("sh"),
+    )
+
+
+def shingles(t: Column, k: int = 5, distinct: bool = True) -> Column:
+    """Word k-shingles as an array column. ONLY for tiny frames: building
+    this from a raw text column re-evaluates the tokenizer per shingle
+    (see shingles_from_tokens) — every hot path uses `shingle_frame`."""
+    return shingles_from_tokens(tokens_col(t), k, distinct)
 
 
 def minhash_signatures(
@@ -91,15 +157,22 @@ def minhash_signatures(
     Shape matters at scale: computing the signature as n_hashes nested
     `array_min(transform(...))` expressions re-evaluates the shingle array
     per seed (Catalyst does not CSE across lambda boundaries) — measured
-    pathological. Instead: explode shingles (map-side, no shuffle), compute
-    the n seed-hashes per shingle ONCE each, then one hash aggregation of
-    per-seed minima with map-side partial aggregation."""
-    ex = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(shingles(F.col(text_col), k)).alias("sh"),
+    pathological. Instead: explode shingles (map-side, no shuffle), then
+    one hash aggregation of per-seed minima with map-side partial agg.
+
+    Per-seed values hash the 8-byte BASE hash of the shingle, not the
+    shingle string: xxhash64(string) runs once per shingle and the
+    n_hashes seed variants are fixed-width long hashes (measured r3: the
+    32 per-seed STRING hashes were ~0.9 GB/core of rehashing at sf0.1 —
+    the dominant cost of the whole dedup path). Same independence
+    guarantees (datasketch applies seeded permutations to one base hash
+    the same way); collisions at 64 bits are immaterial for candidate
+    generation, and candidates are Jaccard-verified anyway."""
+    ex = exploded_shingle_frame(df, id_col, text_col, k).select(
+        "id", F.xxhash64("sh").alias("h0")
     )
     mins = [
-        F.min(F.xxhash64("sh", F.lit(seed))).alias(f"h{seed}")
+        F.min(F.xxhash64("h0", F.lit(seed))).alias(f"h{seed}")
         for seed in range(n_hashes)
     ]
     agg = ex.groupBy("id").agg(*mins)
@@ -151,10 +224,25 @@ def jaccard_verify(
     k: int = 5,
     threshold: float = 0.7,
 ) -> DataFrame:
-    """Exact n-gram Jaccard on candidate pairs only (array set algebra)."""
-    sh = df.select(
-        F.col(id_col).alias("id"), shingles(F.col(text_col), k).alias("sh")
+    """Exact n-gram Jaccard on candidate pairs only (array set algebra).
+
+    Candidates ≪ corpus after LSH, so the expensive shingle-array build
+    runs ONLY on docs that appear in a candidate pair: semi-join `df` to
+    the distinct candidate ids first (r2 review #2 — the old version
+    shingled the entire corpus to verify a handful of pairs). Both the
+    candidate frame and the shingle frame are materialized: candidates
+    feed three references (two id projections + the pair join) and the
+    shingle frame two (the _a and _b sides)."""
+    candidates = materialize(candidates)
+    cand_ids = (
+        candidates.select(F.col("id_a").alias("cid"))
+        .unionByName(candidates.select(F.col("id_b").alias("cid")))
+        .distinct()
     )
+    needed = df.join(
+        cand_ids, F.col(id_col) == F.col("cid"), "left_semi"
+    )
+    sh = materialize(shingle_frame(needed, id_col, text_col, k))
     j = (
         candidates.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
         .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")

@@ -156,6 +156,7 @@ def _process_batch(
     with_images: bool,
     pages: frozenset[int] | None = None,
     profile: bool = False,
+    doc_budget_ms: float | None = None,
 ) -> pa.RecordBatch:
     t0 = time.perf_counter()
     _marks: list[tuple[str, float]] = []
@@ -496,6 +497,17 @@ def _process_batch(
         h_di = di[html_rows]
         h_text = pc.take(text_a, pa.array(html_rows)).to_pylist()
         e_di, e_sort, e_kind, e_gen, e_mgen = [], [], [], [], []
+        # Per-document time budget (E-series poison-pill containment; the
+        # reference's per-file timeout analog — cli/benchmark.py:45 300 s,
+        # strategies/libreoffice.py:31 180 s). The HTML parse is the only
+        # per-doc Python kernel with super-linear worst cases; every other
+        # pass is a linear Arrow/NumPy kernel. Best-effort check-after (no
+        # in-process preemption, like the reference's thread-less paths):
+        # an over-budget doc becomes an error row, its spans are dropped,
+        # and the REST of the batch still completes — one pathological doc
+        # can no longer poison its task's output, though it still costs
+        # its own parse time once.
+        budget_s = doc_budget_ms / 1000.0 if doc_budget_ms else None
         i = 0
         while i < len(html_rows):
             j = i
@@ -503,8 +515,16 @@ def _process_batch(
                 j += 1
             html = "\n".join(h_text[i:j])
             d = int(h_di[i])
+            t_doc = time.perf_counter()
+            blocks = extract_blocks(html)
+            if budget_s is not None and time.perf_counter() - t_doc > budget_s:
+                errors[d] = (
+                    f"timeout: document exceeded {doc_budget_ms:g} ms budget"
+                )
+                i = j
+                continue
             ctr = 0
-            for blk in extract_blocks(html):
+            for blk in blocks:
                 if not blk.kept:
                     continue
                 if blk.heading_level > 0:
@@ -642,11 +662,14 @@ def make_extract_fn(
     with_images: bool = True,
     pages: frozenset[int] | None = None,
     profile: bool = False,
+    doc_budget_ms: float | None = None,
 ) -> Callable[[Iterator[pa.RecordBatch]], Iterator[pa.RecordBatch]]:
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
             if batch.num_rows:
-                yield _process_batch(batch, with_images, pages, profile)
+                yield _process_batch(
+                    batch, with_images, pages, profile, doc_budget_ms
+                )
 
     return fn
 
@@ -656,6 +679,7 @@ def extract_spans(
     with_images: bool = True,
     pages: frozenset[int] | str | None = None,
     profile: bool = False,
+    doc_budget_ms: float | None = None,
 ) -> DataFrame:
     """documents(doc_id, spans) → extracted(...) via one mapInArrow stage.
 
@@ -665,12 +689,18 @@ def extract_spans(
 
     `profile=True` appends a `section_ms` map column with per-batch named
     kernel timings (A4, reference utils/profiling.py) — opt-in so the
-    production schema is unchanged."""
+    production schema is unchanged.
+
+    `doc_budget_ms`: per-document time budget for the per-doc Python
+    kernels (HTML parse) — an over-budget document becomes an error row
+    (`error` starts with 'timeout:') instead of stalling its task; the
+    reference's per-file timeout analog (cli/benchmark.py:45). None
+    disables the check (default: containment without a budget)."""
     if isinstance(pages, str):
         from ..functions.pages import parse_pages
 
         pages = parse_pages(pages)
     return df.select("doc_id", "spans").mapInArrow(
-        make_extract_fn(with_images, pages, profile),
+        make_extract_fn(with_images, pages, profile, doc_budget_ms),
         EXTRACTED_PROFILE_SCHEMA if profile else EXTRACTED_SCHEMA,
     )

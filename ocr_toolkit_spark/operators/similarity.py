@@ -24,6 +24,25 @@ from pyspark.sql.functions import pandas_udf
 
 from .skew import DEFAULT_MAX_BUCKET, star_capped_pairs
 
+# Input-query-count ceiling for the forced broadcast of the query side.
+# Top-k serving contracts say "queries are small", but nothing used to
+# enforce it (r2 review #4): a caller passing a 10M-row query set got a
+# driver OOM instead of a plan. Above the ceiling the hint is dropped and
+# the join falls back to whatever AQE picks (shuffle join at real sizes).
+MAX_BROADCAST_QUERIES = 20_000
+
+
+def _broadcast_if_small(
+    queries: DataFrame, expanded: DataFrame, max_rows: int
+) -> DataFrame:
+    """Hint `expanded` (the per-bucket/probe-expanded query frame) for
+    broadcast only when the INPUT query count is provably ≤ max_rows.
+    The probe is one early-stop `limit(n+1).count()` job on the raw query
+    frame — O(max_rows) regardless of the true size."""
+    if queries.limit(max_rows + 1).count() <= max_rows:
+        return F.broadcast(expanded)
+    return expanded
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -51,8 +70,10 @@ def brute_force_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_broadcast_queries: int = MAX_BROADCAST_QUERIES,
 ) -> DataFrame:
-    """Exact cosine top-k per query. `queries` is small → broadcast."""
+    """Exact cosine top-k per query. The query side is broadcast only when
+    provably small (see MAX_BROADCAST_QUERIES)."""
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
@@ -60,7 +81,8 @@ def brute_force_topk(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v_vec")
     )
     scored = (
-        v.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        v.join(_broadcast_if_small(queries, q, max_broadcast_queries),
+               F.col("neighbor_id") != F.col("query_id"))
         .withColumn("sim", F.round(cosine(F.col("q_vec"), F.col("v_vec")), 6))
         .select("query_id", "neighbor_id", "sim")
     )
@@ -103,6 +125,7 @@ def lsh_topk(
     n_tables: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_broadcast_queries: int = MAX_BROADCAST_QUERIES,
 ) -> DataFrame:
     """Approximate top-k: candidates share the query's SRP bucket, exact
     cosine re-rank inside buckets. Cost per query drops from N to
@@ -147,7 +170,8 @@ def lsh_topk(
     ).select("query_id", "q_vec", "tb.tbl", "tb.bucket")
 
     scored = (
-        v.join(F.broadcast(q), ["tbl", "bucket"])
+        v.join(_broadcast_if_small(queries, q, max_broadcast_queries),
+               ["tbl", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("sim", F.round(cosine(F.col("q_vec"), F.col("v_vec")), 6))
         .select("query_id", "neighbor_id", "sim")
@@ -232,6 +256,7 @@ def ivf_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_broadcast_queries: int = MAX_BROADCAST_QUERIES,
 ) -> DataFrame:
     """IVF approximate top-k: inverted-file cells from a sampled spherical
     k-means quantizer; queries probe their `n_probe` nearest cells; exact
@@ -252,7 +277,7 @@ def ivf_topk(
         F.explode(q_assign(F.col(vec_col))).alias("cell"),
     )
     scored = (
-        v.join(F.broadcast(q), "cell")
+        v.join(_broadcast_if_small(queries, q, max_broadcast_queries), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("sim", F.round(cosine(F.col("q_vec"), F.col("v_vec")), 6))
         .select("query_id", "neighbor_id", "sim")

@@ -36,16 +36,45 @@ from pyspark.sql import functions as F
 DEFAULT_MAX_BUCKET = 256
 
 
+def materialize(df: DataFrame) -> DataFrame:
+    """Cut the plan: compute `df` once and reuse the rows for every
+    downstream reference.
+
+    `star_capped_pairs` references its input four ways (bucket-size agg,
+    anti-join, self-join a/b, members join); left unmaterialized, Catalyst
+    re-executes the whole upstream subtree per reference — r2 review: the
+    MinHash signature aggregation ran ~6× inside minhash_dedup with zero
+    ReusedExchange. `localCheckpoint(eager=True)` runs the subtree exactly
+    once, stores the rows on executors (memory, spilling to local disk) and
+    truncates lineage, so every reference becomes a `Scan ExistingRDD`.
+
+    Cluster note (100 TB): truncated lineage is non-recoverable — an
+    executor loss fails the job instead of recomputing the lost blocks.
+    For the bounded candidate-generation frames here (narrow columns,
+    ~bands× the doc count) a from-scratch retry costs the same as one
+    lineage recompute, so the trade is right; for frames where it is not,
+    swap this for persist(StorageLevel.DISK_ONLY) or a reliable
+    checkpoint dir — the call sites do not change."""
+    return df.localCheckpoint(eager=True)
+
+
 def star_capped_pairs(
     df: DataFrame,
     key_cols: list[str],
     id_col: str = "id",
     payload_cols: tuple[str, ...] = (),
     max_bucket: int = DEFAULT_MAX_BUCKET,
+    materialize_input: bool = True,
 ) -> DataFrame:
     """Candidate pairs (id_a < id_b) from a bucket self-join with the
     oversized-bucket star guard.  Payload columns are carried through as
-    `<name>_a` / `<name>_b` (e.g. signatures for Hamming verification)."""
+    `<name>_a` / `<name>_b` (e.g. signatures for Hamming verification).
+
+    The input is materialized by default (see `materialize`): this function
+    fans `df` out four ways, and every LSH-family caller hands it a frame
+    whose lineage contains the expensive signature pipeline."""
+    if materialize_input:
+        df = materialize(df)
     # One aggregation finds the oversized buckets; its output is TINY
     # (≤ rows/max_bucket keys), so both the anti-join (drop big-bucket rows
     # from the all-pairs side) and the star join run as broadcast joins under

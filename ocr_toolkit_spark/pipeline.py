@@ -108,6 +108,7 @@ def run_extraction(
     salt_threshold: int = DEFAULT_SALT_THRESHOLD,
     salt_k: int = DEFAULT_SALT_K,
     parallelism: int | None = None,
+    doc_budget_ms: float | None = None,
 ) -> RunStats:
     docs = with_partition_id(tio.read_documents(spark, input_path), n_buckets)
 
@@ -129,7 +130,10 @@ def run_extraction(
     shuffle_n = parallelism or int(spark.conf.get("spark.sql.shuffle.partitions"))
     docs = docs.repartition(shuffle_n, "partition_id", "salt")
 
-    extracted = extract_spans(docs.select("doc_id", "spans"), with_images, pages)
+    extracted = extract_spans(
+        docs.select("doc_id", "spans"), with_images, pages,
+        doc_budget_ms=doc_budget_ms,
+    )
     # partition_id is recomputed from doc_id (deterministic hash) rather than
     # threaded through the Arrow stage — keeps the UDF schema minimal
     out = with_partition_id(extracted, n_buckets)

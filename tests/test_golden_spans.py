@@ -83,3 +83,40 @@ def test_failure_containment(spark):
     assert by_id["h2"]["error"] == "unsupported content: no known span kinds"
     assert not by_id["h3"]["success"] and "decode error" in by_id["h3"]["error"]
     assert by_id["h4"]["success"]  # null text → '' → heading-only doc
+
+
+def test_doc_budget_contains_pathological_doc_without_poisoning_batch():
+    """E-series per-doc TIME containment (reference per-file timeout analog,
+    cli/benchmark.py:45): with a ~zero budget every html doc (the per-doc
+    Python parse path) becomes an error row tagged 'timeout:', while every
+    other document in the batch still extracts byte-identically; a generous
+    budget changes nothing."""
+    docs = generate_documents(60, 42)
+    batch = to_arrow(docs).combine_chunks().to_batches()[0]
+
+    def spans_of(rows):
+        return {
+            r["doc_id"]: (
+                [(s["kind"], s["text"], s["media_ref"], s["order"])
+                 for s in r["out_spans"]],
+                r["success"], r["error"], r["method"],
+            )
+            for r in rows
+        }
+
+    base = spans_of(_process_batch(batch, True).to_pylist())
+    tight = _process_batch(batch, True, doc_budget_ms=1e-9).to_pylist()
+    assert len(tight) == len(docs)
+    timed_out = [r for r in tight if r["error"].startswith("timeout:")]
+    assert timed_out, "fixture corpus must contain html docs"
+    for r in timed_out:
+        assert r["method"] == "html"
+        assert not r["success"] and r["out_spans"] == []
+    got = spans_of(tight)
+    for did, b in base.items():
+        if not got[did][2].startswith("timeout:"):
+            assert got[did] == b, did
+
+    generous = spans_of(
+        _process_batch(batch, True, doc_budget_ms=60000.0).to_pylist())
+    assert generous == base

@@ -70,6 +70,30 @@ def test_similarity_queries_broadcast(spark):
     assert_broadcast_join(out)
 
 
+def test_large_query_set_not_broadcast(spark):
+    """r2 review #4: the query-side broadcast must be gated on a provable
+    size bound — a query set above the ceiling gets NO broadcast hint (AQE
+    picks the join), instead of a forced broadcast that would OOM the
+    driver at 10M queries."""
+    from ocr_toolkit_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        lsh_topk,
+    )
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    dim = len(e.select("embedding").first()[0])
+    big_q = e.filter("vec_id < 8")  # 8 queries > ceiling of 2 → no hint
+    for out in (
+        brute_force_topk(e, big_q, k=2, max_broadcast_queries=2),
+        lsh_topk(e, big_q, dim=dim, k=2, max_broadcast_queries=2),
+        ivf_topk(e, big_q, dim=dim, k=2, n_centroids=4,
+                 max_broadcast_queries=2),
+    ):
+        analyzed = out._jdf.queryExecution().analyzed().toString()
+        assert "ResolvedHint" not in analyzed
+
+
 def test_media_join_not_unconditionally_broadcast(spark, corpus_path):
     """r1 review item #5: the media table (binary payloads) is the BIG side
     at pipeline scale — join_media_to_spans must not carry a broadcast hint;
@@ -113,6 +137,42 @@ def test_bucketed_join_is_exchange_free(spark, corpus_path, tmp_path_factory):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.sql("DROP TABLE IF EXISTS bk_left")
         spark.sql("DROP TABLE IF EXISTS bk_right")
+
+
+def test_lsh_bucket_frames_materialized(spark):
+    """r2 review #1: star_capped_pairs fans its input out four ways, so the
+    expensive signature pipeline (shingle explode + 32-seed hash agg for
+    MinHash; the Arrow-batched simhash UDF) must execute ONCE, upstream of
+    an eager localCheckpoint — not per reference. Downstream, every
+    reference must be a Scan ExistingRDD with zero signature hashing and
+    zero Python stages left in the plan."""
+    from ocr_toolkit_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        simhash_near_dups,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    mh_plan = formatted_plan(
+        minhash_lsh_candidates(docs, n_hashes=32, bands=8))
+    assert "Scan ExistingRDD" in mh_plan
+    assert "xxhash64" not in mh_plan, mh_plan
+    sh_plan = formatted_plan(simhash_near_dups(docs))
+    assert "Scan ExistingRDD" in sh_plan
+    assert "ArrowEvalPython" not in sh_plan and "EvalPython" not in sh_plan
+
+
+def test_jaccard_verify_shingles_only_candidates(spark):
+    """r2 review #2: the verify stage must shingle only docs named in a
+    candidate pair. The verified-pairs plan re-reads the documents table
+    solely for the semi-join + shingle build of the (materialized) needed
+    set; the join itself consumes checkpointed rows — no shingle transform
+    (slice/concat_ws chain) appears in the final join plan."""
+    import __spark_entry__ as em
+
+    plan = formatted_plan(em.queries()["minhash_dedup"](spark, SF_DIR))
+    assert "array_intersect" in plan
+    assert "slice(" not in plan, plan
+    assert "xxhash64" not in plan, plan
 
 
 def test_sessionize_single_shuffle(spark):
