@@ -586,22 +586,49 @@ def q_simhash_dedup(spark, sf_dir):
     return pairs.agg(F.count("*").alias("simhash_pairs"))
 
 
+def _ann_recall_report(ann, bf, k, floor):
+    """Self-validating ANN output (r2 review #6): recall@k of the ANN
+    result against the in-query exact brute force, plus the asserted
+    floor — the driver's rows-only record carries the quality bound in
+    the output itself (the corpus_qa pattern)."""
+    hits = (
+        ann.join(bf.select("query_id", "neighbor_id"),
+                 ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id").agg(F.count("*").alias("hits"))
+    )
+    per_q = (
+        bf.select("query_id").distinct()
+        .join(hits, "query_id", "left").fillna(0, ["hits"])
+    )
+    return per_q.agg(
+        F.count("*").alias("queries"),
+        F.lit(k).alias("k"),
+        F.round(F.avg(F.col("hits") / k), 4).alias("mean_recall"),
+        F.lit(floor).alias("recall_floor"),
+        (F.avg(F.col("hits") / k) >= floor).alias("meets_floor"),
+    )
+
+
 def q_lsh_topk(spark, sf_dir):
-    from ocr_toolkit_spark.operators.similarity import lsh_topk
+    from ocr_toolkit_spark.operators.similarity import brute_force_topk, lsh_topk
 
     e = _t(spark, sf_dir, "embeddings")
     dim = len(e.select("embedding").first()[0])
-    return lsh_topk(e, e.filter(F.col("vec_id") < 5), dim=dim, k=3, n_bits=6,
-                    n_probe=3, n_tables=2)
+    q = e.filter(F.col("vec_id") < 5)
+    ann = lsh_topk(e, q, dim=dim, k=10, n_bits=4, n_probe=3, n_tables=4)
+    bf = brute_force_topk(e, q, k=10)
+    return _ann_recall_report(ann, bf, k=10, floor=0.6)
 
 
 def q_ivf_topk(spark, sf_dir):
-    from ocr_toolkit_spark.operators.similarity import ivf_topk
+    from ocr_toolkit_spark.operators.similarity import brute_force_topk, ivf_topk
 
     e = _t(spark, sf_dir, "embeddings")
     dim = len(e.select("embedding").first()[0])
-    return ivf_topk(e, e.filter(F.col("vec_id") < 5), dim=dim, k=3,
-                    n_centroids=16, n_probe=4)
+    q = e.filter(F.col("vec_id") < 5)
+    ann = ivf_topk(e, q, dim=dim, k=10, n_centroids=16, n_probe=8)
+    bf = brute_force_topk(e, q, k=10)
+    return _ann_recall_report(ann, bf, k=10, floor=0.6)
 
 
 def q_embedding_near_dups(spark, sf_dir):

@@ -18,7 +18,12 @@ With an Iceberg catalog configured, swap these for `writeTo(...).overwrite...`
 
 from __future__ import annotations
 
+import json
+import os
+import time
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .schema import DOCUMENTS_SCHEMA, LINEAGE_SCHEMA
 
@@ -75,3 +80,86 @@ def read_lineage(spark: SparkSession, path: str) -> DataFrame | None:
         return spark.read.schema(LINEAGE_SCHEMA).parquet(path)
     except Exception:
         return None  # first run: no lineage table yet
+
+
+# --- snapshot log (Iceberg snapshot-commit / time-travel emulation) ----------
+#
+# Iceberg's core read contract: a snapshot is an immutable view of the table;
+# readers pin a snapshot id and never see partial commits; `VERSION AS OF n`
+# reads history. This emulation keeps an append-only JSON log under
+# `<table>/_snapshots/` — one file per commit, carrying the cumulative set of
+# (partition_id → owning run) after that commit — and the time-travel read
+# prunes partitions accordingly (partition_id is a physical partition column,
+# so the pruning happens at file-listing time, exactly like Iceberg manifest
+# pruning). With a real catalog these four functions become
+# `writeTo(...).append()` / `table.snapshots()` / `VERSION AS OF`; nothing
+# else in the engine changes.
+
+def _snapshot_dir(table_path: str) -> str:
+    return os.path.join(table_path, "_snapshots")
+
+
+def snapshots(table_path: str) -> list[dict]:
+    """All committed snapshots, oldest first: {snapshot_id, parent_id,
+    run_id, committed_ms, partitions: {partition_id: run_id}}."""
+    d = _snapshot_dir(table_path)
+    if not os.path.isdir(d):
+        return []
+    snaps = []
+    for name in os.listdir(d):
+        if name.startswith("snap-") and name.endswith(".json"):
+            with open(os.path.join(d, name)) as f:
+                snaps.append(json.load(f))
+    return sorted(snaps, key=lambda s: s["snapshot_id"])
+
+
+def snapshot_commit(
+    table_path: str, run_id: str, partition_ids: list[int]
+) -> dict:
+    """Append one snapshot: the previous partition→run mapping plus this
+    run's partitions (replacing any it rewrote — dynamic-overwrite
+    semantics). Returns the new snapshot record. The write is
+    atomic-rename (tmp file + os.replace), so a reader never observes a
+    half-written snapshot — the commit-point analog of an Iceberg
+    metadata swap."""
+    prev = snapshots(table_path)
+    parent = prev[-1] if prev else None
+    parts = dict(parent["partitions"]) if parent else {}
+    for pid in partition_ids:
+        parts[str(int(pid))] = run_id
+    snap = {
+        "snapshot_id": (parent["snapshot_id"] + 1) if parent else 1,
+        "parent_id": parent["snapshot_id"] if parent else None,
+        "run_id": run_id,
+        "committed_ms": int(time.time() * 1000),
+        "partitions": parts,
+    }
+    d = _snapshot_dir(table_path)
+    os.makedirs(d, exist_ok=True)
+    final = os.path.join(d, f"snap-{snap['snapshot_id']:08d}.json")
+    tmp = final + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(snap, f)
+    os.replace(tmp, final)
+    return snap
+
+
+def read_extracted_as_of(
+    spark: SparkSession, path: str, snapshot_id: int
+) -> DataFrame:
+    """Time-travel read: only partitions present in the table AS OF the
+    given snapshot. The filter is on the physical partition column, so it
+    prunes at file-listing time (shown as PartitionFilters in the scan) —
+    no data files of later partitions are opened.
+
+    Honesty bound of the emulation: Parquet dynamic overwrite REPLACES a
+    rewritten partition's files (Iceberg would retain the old ones), so
+    time travel is sound only under the pipeline's write-once-per-
+    partition commit discipline (resume skips committed partitions; a
+    partition is owned by exactly one run). A real catalog lifts this.
+    """
+    matching = [s for s in snapshots(path) if s["snapshot_id"] == snapshot_id]
+    if not matching:
+        raise ValueError(f"no snapshot {snapshot_id} under {path}")
+    pids = [int(p) for p in matching[0]["partitions"]]
+    return spark.read.parquet(path).filter(F.col("partition_id").isin(pids))

@@ -184,6 +184,10 @@ def run_extraction(
         rows, schema=LINEAGE_ROW_SCHEMA
     ).withColumn("committed_at", F.current_timestamp())
     tio.append_lineage(lineage, lineage_path)
+    # snapshot-commit (Iceberg metadata-swap analog): atomically record the
+    # cumulative partition→run mapping so readers can pin or time-travel
+    if n_new:
+        tio.snapshot_commit(output_path, run_id, [pid for pid, _ in parts])
     return RunStats(
         run_id=run_id,
         partitions_processed=n_new,

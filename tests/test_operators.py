@@ -89,6 +89,51 @@ class TestConnectedComponents:
         with _pytest.raises(RuntimeError, match="did not converge"):
             connected_components(chain, max_iter=2)
 
+    def test_star_algorithm_equals_hash_min_on_random_graphs(self, spark):
+        """large-star/small-star (general-graph path, r2 review #10) must
+        produce identical components to hash-min on random graphs."""
+        import random as _random
+
+        from ocr_toolkit_spark.operators.cc import connected_components
+
+        rng = _random.Random(17)
+        for trial in range(3):
+            n = 40
+            edges = [(rng.randrange(n), rng.randrange(n))
+                     for _ in range(rng.randrange(10, 50))]
+            edges = [e for e in edges if e[0] != e[1]] or [(0, 1)]
+            pairs = spark.createDataFrame(edges, "id_a int, id_b int")
+            a = {r.node: r.component
+                 for r in connected_components(pairs, max_iter=40).collect()}
+            b = {r.node: r.component
+                 for r in connected_components(
+                     pairs, algorithm="star").collect()}
+            assert a == b, (trial, edges)
+
+    def test_star_algorithm_converges_on_long_chain(self, spark):
+        """A 200-node chain needs ~200 hash-min rounds but only O(log n)
+        alternating star rounds — the scale property the general path is
+        for."""
+        from ocr_toolkit_spark.operators.cc import connected_components
+
+        chain = spark.createDataFrame(
+            [(i, i + 1) for i in range(200)], "id_a int, id_b int")
+        got = {r.node: r.component
+               for r in connected_components(
+                   chain, algorithm="star", max_iter=12).collect()}
+        assert got == {i: 0 for i in range(201)}
+
+    def test_star_guard_output_is_a_star(self, spark):
+        """skew.py invariant the hash-min fast-converge claim rests on: an
+        oversized bucket emits ONLY rep↔member pairs (diameter 2)."""
+        from ocr_toolkit_spark.operators.skew import star_capped_pairs
+
+        rows = [(1, i) for i in range(100)]  # one bucket, 100 members
+        df = spark.createDataFrame(rows, "bucket int, id int")
+        pairs = star_capped_pairs(df, ["bucket"], "id", max_bucket=10)
+        got = [(r.id_a, r.id_b) for r in pairs.collect()]
+        assert sorted(got) == [(0, i) for i in range(1, 100)]
+
     def test_near_dedup_keep_first(self, spark, dup_docs):
         from ocr_toolkit_spark.operators.cc import near_dedup_keep_first
         from ocr_toolkit_spark.operators.dedup import (

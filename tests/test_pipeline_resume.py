@@ -145,3 +145,53 @@ def test_salting_splits_oversized(spark, tmpdir_path):
     assert big.count() > 0, "fixture must contain oversized docs"
     assert docs.filter(F.size("spans") <= 500).select("salt").distinct().collect() == [
         spark.createDataFrame([(0,)], "salt int").collect()[0]]
+
+
+def test_snapshot_commit_and_time_travel(spark, tmpdir_path):
+    """Iceberg-seam exercise (r2 review 'missing' #1): two committed runs
+    produce two snapshots; a reader pinned to snapshot 1 sees exactly the
+    first run's partitions (pruned at file-listing time), the latest
+    snapshot sees everything, and the partition→run ownership map is
+    consistent with lineage."""
+    corpus = os.path.join(tmpdir_path, "docs.parquet")
+    out = os.path.join(tmpdir_path, "out")
+    lineage = os.path.join(tmpdir_path, "lineage")
+    write_corpus(corpus, n_docs=200, seed=42)
+
+    # run 1 covers only partitions 0..31 (drop the rest from the input),
+    # run 2 resumes over the full corpus and commits the remainder
+    docs = with_partition_id(tio.read_documents(spark, corpus), 64)
+    half = os.path.join(tmpdir_path, "half.parquet")
+    docs.filter(F.col("partition_id") < 32).drop("partition_id") \
+        .write.parquet(half)
+    s1 = run_extraction(spark, half, out, lineage, run_id="run-1")
+    s2 = run_extraction(spark, corpus, out, lineage, run_id="run-2")
+    assert s1.partitions_processed > 0 and s2.partitions_processed > 0
+
+    snaps = tio.snapshots(out)
+    assert [s["snapshot_id"] for s in snaps] == [1, 2]
+    assert snaps[0]["parent_id"] is None and snaps[1]["parent_id"] == 1
+    assert snaps[0]["run_id"] == "run-1" and snaps[1]["run_id"] == "run-2"
+    # cumulative ownership: snapshot 2 keeps run-1's partitions
+    owners = set(snaps[1]["partitions"].values())
+    assert owners == {"run-1", "run-2"}
+
+    at1 = tio.read_extracted_as_of(spark, out, 1)
+    at2 = tio.read_extracted_as_of(spark, out, 2)
+    n_half = tio.read_documents(spark, half).count()
+    n_full = tio.read_documents(spark, corpus).count()
+    assert at1.count() == n_half == s1.doc_count
+    assert at2.count() == n_full
+    # pinned reader sees ONLY run-1 partitions
+    assert sorted(
+        int(r["partition_id"]) for r in at1.select("partition_id").distinct().collect()
+    ) == sorted(int(p) for p in snaps[0]["partitions"])
+    # the snapshot filter prunes partitions at listing time, not post-scan
+    from ocr_toolkit_spark.plans import formatted_plan
+
+    assert "PartitionFilters: [partition_id" in formatted_plan(at1)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        tio.read_extracted_as_of(spark, out, 99)
