@@ -178,7 +178,7 @@ def q_method_selection_full(spark, sf_dir):
     = text (null every 13th doc, failed every 11th), ocr content = the
     first half of the text (failed every 7th); file ext cycles through the
     preference-table entries."""
-    from ocr_toolkit_spark.operators.textstats import compare_methods
+    from ocr_toolkit_spark.operators.textstats import with_compare_methods
 
     d = _docs(spark, sf_dir)
     five = F.col("doc_id") % 5
@@ -193,18 +193,18 @@ def q_method_selection_full(spark, sf_dir):
     )
     ocr_success = (F.col("doc_id") % 7) != 2
     ocr_content = F.expr("left(text, CAST(floor(n_chars/2) AS INT))")
-    cols = compare_methods(
-        md_success, md_content, ocr_success, ocr_content, ext,
+    scored = with_compare_methods(
+        d, md_success, md_content, ocr_success, ocr_content, ext,
         include_repeat_penalty=False,  # RE2/DuckDB twin limitation, as T10
     )
-    return d.select(
+    return scored.select(
         "doc_id",
-        cols["chosen_method"].alias("chosen_method"),
-        cols["selection_reason"].alias("selection_reason"),
-        cols["markitdown_score"].alias("markitdown_score"),
-        cols["ocr_score"].alias("ocr_score"),
-        cols["markitdown_available"].alias("markitdown_available"),
-        cols["ocr_available"].alias("ocr_available"),
+        "chosen_method",
+        "selection_reason",
+        "markitdown_score",
+        "ocr_score",
+        "markitdown_available",
+        "ocr_available",
     )
 
 

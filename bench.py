@@ -30,6 +30,10 @@ BENCH_QUERIES = [
     "simhash_dedup",
     "exact_dedup",
     "token_stats",
+    # added r3: sessionization (single-shuffle window chain) and the
+    # SRP-bucketed embedding near-dup join
+    "sessionize",
+    "embedding_near_dups",
 ]
 
 DOCS_PER_SF = 200_000  # extraction corpus rows per unit sf

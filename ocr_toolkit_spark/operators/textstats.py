@@ -117,11 +117,98 @@ def quality_columns(t: Column, include_repeat_penalty: bool = True) -> dict[str,
 
 
 def with_quality(df: DataFrame, text_col: str = "text",
-                 include_repeat_penalty: bool = True) -> DataFrame:
-    cols = quality_columns(F.col(text_col), include_repeat_penalty)
-    for name, c in cols.items():
-        df = df.withColumn(name, c)
-    return df
+                 include_repeat_penalty: bool = True,
+                 prefix: str = "") -> DataFrame:
+    """Quality columns via LAYERED projections — semantically identical to
+    selecting `quality_columns` directly, ~10× cheaper per row.
+
+    `quality_columns` as a flat select duplicates the whole primitive tree
+    (strip, 5 regexes, char/word arrays) into every output column —
+    total_score alone re-evaluates all of them, and Catalyst does not CSE
+    across output expressions (measured r3: composed query 30× the sum of
+    its parts). Here each primitive is computed ONCE in its own projection
+    layer; CollapseProject keeps multiply-referenced non-cheap aliases
+    separate, so the plan evaluates strip/regex/array work once per row.
+
+    `prefix` prefixes the five output column names (for side-by-side md/ocr
+    scoring). Exact-equality with the reference formula is pinned by
+    tests/test_reference_direct.py::TestQualityDirect."""
+    t = py_strip(F.col(text_col))
+    layer1 = df.withColumn("_qt", t)
+    tt = F.col("_qt")
+    word_runs = F.regexp_extract_all(tt, F.lit(rf"([{_WORD}]+)"), 1)
+    prims = [
+        F.length(tt).alias("_q_len"),
+        F.regexp_count(tt, F.lit(rf"(?dm)^#+[{_WS}]")).alias("_q_headers"),
+        F.regexp_count(
+            tt, F.lit(rf"(?dm)^[-*•][{_WS}]|^\p{{Nd}}+\.[{_WS}]")
+        ).alias("_q_lists"),
+        (F.regexp_count(tt, F.lit(rf"\n[{_WS}]*\n")) + 1).alias("_q_paras"),
+        _nonblank_lines(tt).alias("_q_nonblank"),
+        F.size(
+            F.array_distinct(F.split(F.translate(F.lower(tt), " \n", ""), ""))
+        ).alias("_q_uniq"),
+        F.regexp_count(
+            tt, F.lit(rf'[^{_WORD}{_WS}\n.,!?;:()\[\]{{}}""' "-]")
+        ).alias("_q_special"),
+        F.size(word_runs).alias("_q_words"),
+        F.size(F.filter(word_runs, lambda w: F.length(w) == 1)).alias(
+            "_q_short"
+        ),
+    ]
+    if include_repeat_penalty:
+        prims.append(
+            (F.regexp_count(tt, F.lit(r"(.)\1{4,}")) > 0).alias("_q_repeat")
+        )
+    layer2 = layer1.select("*", *prims)
+
+    empty = tt.isNull() | (F.col("_q_len") == 0)
+    length_score = F.least(F.col("_q_len") / 1000.0, F.lit(10.0)) * 10.0
+    structure_score = F.least(
+        F.least(F.col("_q_headers") * 5.0, F.lit(30.0))
+        + F.least(F.col("_q_lists") * 2.0, F.lit(20.0))
+        + F.least(F.col("_q_paras") * 1.0, F.lit(20.0))
+        + F.least(F.col("_q_nonblank") * 0.5, F.lit(30.0)),
+        F.lit(100.0),
+    )
+    diversity_score = F.least(F.col("_q_uniq") * 2.0, F.lit(100.0))
+    special_ratio = F.col("_q_special") / F.col("_q_len")
+    short_ratio = F.when(
+        F.col("_q_words") > 0, F.col("_q_short") / F.col("_q_words")
+    ).otherwise(F.lit(0.0))
+    penalty = F.lit(1.0)
+    if include_repeat_penalty:
+        penalty = penalty * F.when(
+            F.col("_q_repeat"), F.lit(0.8)
+        ).otherwise(F.lit(1.0))
+    penalty = penalty * F.when(
+        special_ratio > QUALITY_SPECIAL_CHAR_THRESHOLD, F.lit(0.9)
+    ).otherwise(F.lit(1.0))
+    penalty = penalty * F.when(
+        short_ratio > QUALITY_SHORT_WORD_THRESHOLD, F.lit(0.7)
+    ).otherwise(F.lit(1.0))
+    z = F.lit(0.0)
+    layer3 = layer2.select(
+        "*",
+        F.when(empty, z).otherwise(length_score).alias(f"{prefix}length_score"),
+        F.when(empty, z).otherwise(structure_score).alias(
+            f"{prefix}structure_score"
+        ),
+        F.when(empty, z).otherwise(diversity_score).alias(
+            f"{prefix}diversity_score"
+        ),
+        F.when(empty, F.lit(1.0)).otherwise(penalty).alias(
+            f"{prefix}error_penalty"
+        ),
+    )
+    total = (
+        F.col(f"{prefix}length_score") * 0.3
+        + F.col(f"{prefix}structure_score") * 0.4
+        + F.col(f"{prefix}diversity_score") * 0.3
+    ) * F.col(f"{prefix}error_penalty")
+    out = layer3.withColumn(f"{prefix}total_score", total)
+    drop = [c for c in out.columns if c.startswith("_q")]
+    return out.drop(*drop)
 
 
 def lang_id(t: Column) -> Column:
@@ -296,3 +383,96 @@ def compare_methods(
         "markitdown_available": md_avail,
         "ocr_available": ocr_avail,
     }
+
+
+def with_compare_methods(
+    df: DataFrame,
+    md_success: Column,
+    md_content: Column,
+    ocr_success: Column,
+    ocr_content: Column,
+    ext: Column,
+    include_repeat_penalty: bool = True,
+) -> DataFrame:
+    """T11 at scale: same semantics as `compare_methods` (equality pinned by
+    tests), but the two quality trees are evaluated through the LAYERED
+    `with_quality` (each primitive once per row) instead of being inlined
+    into every output expression — the same ~10× blowup `with_quality`
+    fixes, doubled (md + ocr sides)."""
+    d = df.withColumns({
+        "_cm_md_ok": md_success, "_cm_md_tx": md_content,
+        "_cm_ocr_ok": ocr_success, "_cm_ocr_tx": ocr_content,
+        "_cm_ext": ext,
+    })
+    d = with_quality(d, "_cm_md_tx", include_repeat_penalty, prefix="_cmmd_")
+    d = with_quality(d, "_cm_ocr_tx", include_repeat_penalty, prefix="_cmocr_")
+
+    md_avail = (
+        F.col("_cm_md_ok")
+        & F.col("_cm_md_tx").isNotNull()
+        & (F.length("_cm_md_tx") > 0)
+    )
+    ocr_avail = (
+        F.col("_cm_ocr_ok")
+        & F.col("_cm_ocr_tx").isNotNull()
+        & (F.length("_cm_ocr_tx") > 0)
+    )
+    z = F.lit(0.0)
+
+    def r4(x: Column) -> Column:
+        return F.floor(x * 10000 + F.lit(0.5)) / 10000.0
+
+    md_raw = F.col("_cmmd_total_score") * preference(
+        MARKITDOWN_PREFERENCE, F.col("_cm_ext")
+    )
+    ocr_raw = F.col("_cmocr_total_score") * preference(
+        OCR_PREFERENCE, F.col("_cm_ext")
+    )
+    d = d.select(
+        "*",
+        md_avail.alias("markitdown_available"),
+        ocr_avail.alias("ocr_available"),
+    )
+    both = F.col("markitdown_available") & F.col("ocr_available")
+    d = d.select(
+        "*",
+        F.when(both, r4(md_raw)).otherwise(z).alias("markitdown_score"),
+        F.when(both, r4(ocr_raw)).otherwise(z).alias("ocr_score"),
+    )
+
+    def fmt(x: Column) -> Column:
+        i = F.floor(x * 10 + F.lit(0.5)).cast("long")
+        return F.concat(
+            (i / 10).cast("long").cast("string"), F.lit("."),
+            (i % 10).cast("string"),
+        )
+
+    mdf, ocrf = F.col("markitdown_score"), F.col("ocr_score")
+    md_wins = mdf > ocrf
+    reason_md = F.concat(
+        F.lit("MarkItDown scored "), fmt(mdf), F.lit(" vs OCR "),
+        fmt(ocrf), F.lit(" (+"), fmt(mdf - ocrf), F.lit(")"),
+    )
+    reason_ocr = F.concat(
+        F.lit("OCR scored "), fmt(ocrf), F.lit(" vs MarkItDown "),
+        fmt(mdf), F.lit(" (+"), fmt(ocrf - mdf), F.lit(")"),
+    )
+    ma, oa = F.col("markitdown_available"), F.col("ocr_available")
+    chosen = (
+        F.when(ma & ~oa, F.lit("markitdown"))
+        .when(oa & ~ma, F.lit("ocr"))
+        .when(~ma & ~oa, F.lit("ocr"))
+        .otherwise(F.when(md_wins, F.lit("markitdown")).otherwise(F.lit("ocr")))
+    )
+    reason = (
+        F.when(ma & ~oa, F.lit("Only MarkItDown succeeded"))
+        .when(oa & ~ma, F.lit("Only OCR succeeded"))
+        .when(~ma & ~oa, F.lit("Both methods failed"))
+        .otherwise(F.when(md_wins, reason_md).otherwise(reason_ocr))
+    )
+    out = d.select(
+        "*", chosen.alias("chosen_method"), reason.alias("selection_reason")
+    )
+    drop = [c for c in out.columns
+            if c.startswith(("_cm", "_cmmd_", "_cmocr_"))]
+    return out.drop(*drop)

@@ -218,13 +218,11 @@ def with_markdown(extracted: DataFrame) -> DataFrame:
 
 def with_output_quality(extracted: DataFrame) -> DataFrame:
     """T10 quality scoring over the rendered output (quality_evaluator.py:
-    46-126) — the distributed version of per-file post-scoring."""
-    from .operators.textstats import quality_columns
+    46-126) — the distributed version of per-file post-scoring, via the
+    layered with_quality (each primitive once per row)."""
+    from .operators.textstats import with_quality
 
-    df = with_markdown(extracted)
-    for name, col in quality_columns(F.col("markdown")).items():
-        df = df.withColumn(name, col)
-    return df
+    return with_quality(with_markdown(extracted), "markdown")
 
 
 def run_report(extracted: DataFrame, top_k_errors: int = 10) -> dict:

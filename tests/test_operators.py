@@ -458,3 +458,45 @@ class TestMultimodal:
                                       "media_ref string, media_type string, payload binary")
         joined = join_media_to_spans(extracted, media)
         assert joined.filter(F.col("media_ref") != "").count() > 0
+
+
+class TestWithCompareMethodsEquality:
+    def test_layered_equals_column_level(self, spark):
+        """with_compare_methods (layered scale path) must equal
+        compare_methods (the column-level spec pinned to the reference)
+        on every output, over fuzzed method scenarios."""
+        import random as _random
+
+        from pyspark.sql import functions as F
+
+        from ocr_toolkit_spark.operators.textstats import (
+            compare_methods,
+            with_compare_methods,
+        )
+
+        rng = _random.Random(31)
+        good = ("# Title\n\nA normal paragraph with plenty of words here.\n\n"
+                "- one\n- two\n\nMore prose of a reasonable length follows.")
+        cases = []
+        for i in range(80):
+            cases.append((
+                i, rng.random() > 0.3,
+                rng.choice([good, good[:50], "", None, "short", good * 2]),
+                rng.random() > 0.3,
+                rng.choice([good, good[:70], "", None, "tiny", good[:120]]),
+                rng.choice([".pdf", ".docx", ".jpg", ".html", ".txt", ".TIF"]),
+            ))
+        df = spark.createDataFrame(
+            cases, "id int, md_ok boolean, md_tx string, ocr_ok boolean, "
+                   "ocr_tx string, ext string")
+        args = (F.col("md_ok"), F.col("md_tx"), F.col("ocr_ok"),
+                F.col("ocr_tx"), F.col("ext"))
+        names = ["chosen_method", "selection_reason", "markitdown_score",
+                 "ocr_score", "markitdown_available", "ocr_available"]
+        cols = compare_methods(*args)
+        a = {r["id"]: tuple(r[n] for n in names) for r in df.select(
+            "id", *[cols[n].alias(n) for n in names]).collect()}
+        b = {r["id"]: tuple(r[n] for n in names)
+             for r in with_compare_methods(df, *args).select(
+                 "id", *names).collect()}
+        assert a == b
