@@ -58,8 +58,11 @@ def test_fuzz_quality_formula(spark):
     from ocr_toolkit_spark.operators.textstats import with_quality
 
     rng = random.Random(31337)
+    # \r/NEL/LS: Java multiline ^ anchors after these without UNIX_LINES —
+    # locks the (?dm) fix (r3)
     alpha = (string.ascii_letters + string.digits
-             + " \n\t#-*.•!@$%^&*(){}[]\"'中文字?!;:,\x1c\x1f\xa0　")
+             + " \n\t#-*.•!@$%^&*(){}[]\"'中文字?!;:,\x1c\x1f\xa0　"
+             + "\r\x85\u2028")
     texts = ["".join(rng.choice(alpha) for _ in range(rng.randrange(0, 250)))
              for _ in range(700)]
     texts += ["1. numbered\n2. list", "#no space", "# with space", "\n\n\n\n",
@@ -79,7 +82,7 @@ def test_fuzz_quality_formula(spark):
 def test_fuzz_html_control_chars():
     rng = random.Random(99991)
     alpha = (string.ascii_letters + string.digits
-             + " \n\t#|-*.!()[]<>/\"'?=&;中文字\x1f\x1c\xa0")
+             + " \n\t#|-*.!()[]<>/\"'?=&;中文字\x1f\x1c\xa0\r")
     kinds = ["text", "heading", "html", "image", "table_row", "page_break",
              "bytes", "mystery", ""]
     for trial in range(60):
@@ -171,3 +174,28 @@ def test_fuzz_sheet_hostile_cells():
                 off += rng.randrange(0, 3)
             docs.append((f"s{trial}_{i}", spans))
         _assert_docs_match(docs)
+
+
+def test_fuzz_markdown_dispatch_boundary():
+    """The markdown route hinges on the FIRST non-empty trimmed text span
+    matching '^#{1,6} ' — fuzz texts that sit right on that boundary
+    (hash runs of every length, missing space, leading whitespace that
+    trims away, empty first spans)."""
+    rng = random.Random(246810)
+    prefixes = ["#", "## ", "####### ", "# ", "  # ", "\n# ", "#x", "", " ",
+                "\t#### t", "#\u00a0nbsp-after-hash", "###### six", "##"]
+    tails = ["body", "", "line\nline", "中文", "# nested"]
+    for trial in range(40):
+        docs = []
+        for i in range(10):
+            spans, off = [], 0
+            for _ in range(rng.randrange(1, 6)):
+                spans.append({
+                    "kind": rng.choice(["text", "heading"]),
+                    "text": rng.choice(prefixes) + rng.choice(tails),
+                    "media_ref": "",
+                    "offset": off,
+                })
+                off += rng.randrange(0, 3)
+            docs.append((f"m{trial}_{i}", spans))
+        _assert_docs_match(docs, with_images=rng.random() < 0.5)
