@@ -47,6 +47,9 @@ def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(description="ocr_toolkit_spark extraction job")
     p.add_argument("--list-formats", action="store_true",
                    help="list supported span kinds + dispatch rules and exit")
+    p.add_argument("--list-snapshots", metavar="TABLE_PATH",
+                   help="print the output table's snapshot log "
+                        "(id, run, partitions, commit time) and exit")
     p.add_argument("--input", help="documents parquet path")
     p.add_argument("--output", help="extracted output path")
     p.add_argument("--lineage", help="lineage table path")
@@ -66,6 +69,22 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.list_formats:
         list_formats()
+        return 0
+    if args.list_snapshots:
+        from ocr_toolkit_spark import io as tio
+
+        snaps = tio.snapshots(args.list_snapshots)
+        if not snaps:
+            print(f"no snapshots under {args.list_snapshots}")
+            return 1
+        for s in snaps:
+            print(json.dumps({
+                "snapshot_id": s["snapshot_id"],
+                "parent_id": s["parent_id"],
+                "run_id": s["run_id"],
+                "committed_ms": s["committed_ms"],
+                "n_partitions": len(s["partitions"]),
+            }))
         return 0
     if not (args.input and args.output and args.lineage):
         p.error("--input, --output and --lineage are required "
