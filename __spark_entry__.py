@@ -395,11 +395,11 @@ def q_fingerprint(spark, sf_dir):
 
 
 def q_shingle_stats(spark, sf_dir):
-    from ocr_toolkit_spark.operators.dedup import shingles
+    from ocr_toolkit_spark.operators.dedup import shingle_frame
 
     d = _docs(spark, sf_dir).filter(F.col("doc_id") < 20)
-    return d.select(
-        "doc_id", F.size(shingles(F.col("text"), 3)).alias("n_shingles")
+    return shingle_frame(d, "doc_id", "text", 3).select(
+        F.col("id").alias("doc_id"), F.size("sh").alias("n_shingles")
     )
 
 
@@ -590,22 +590,25 @@ def _ann_recall_report(ann, bf, k, floor):
     """Self-validating ANN output (r2 review #6): recall@k of the ANN
     result against the in-query exact brute force, plus the asserted
     floor — the driver's rows-only record carries the quality bound in
-    the output itself (the corpus_qa pattern)."""
+    the output itself (the corpus_qa pattern). Per-query recall divides
+    by the brute-force result COUNT, not the constant k, so a corpus with
+    fewer than k neighbors still scores a perfect ANN as 1.0."""
     hits = (
         ann.join(bf.select("query_id", "neighbor_id"),
                  ["query_id", "neighbor_id"], "left_semi")
         .groupBy("query_id").agg(F.count("*").alias("hits"))
     )
     per_q = (
-        bf.select("query_id").distinct()
+        bf.groupBy("query_id").agg(F.count("*").alias("n_bf"))
         .join(hits, "query_id", "left").fillna(0, ["hits"])
     )
+    recall = F.col("hits") / F.col("n_bf")
     return per_q.agg(
         F.count("*").alias("queries"),
         F.lit(k).alias("k"),
-        F.round(F.avg(F.col("hits") / k), 4).alias("mean_recall"),
+        F.round(F.avg(recall), 4).alias("mean_recall"),
         F.lit(floor).alias("recall_floor"),
-        (F.avg(F.col("hits") / k) >= floor).alias("meets_floor"),
+        (F.avg(recall) >= floor).alias("meets_floor"),
     )
 
 

@@ -88,7 +88,7 @@ def main(argv: list[str] | None = None) -> int:
         return 0
     if not (args.input and args.output and args.lineage):
         p.error("--input, --output and --lineage are required "
-                "(unless using --list-formats)")
+                "(unless using --list-formats or --list-snapshots)")
 
     from ocr_toolkit_spark.pipeline import extraction_stats, run_extraction
     from ocr_toolkit_spark.session import get_spark

@@ -118,30 +118,44 @@ def snapshot_commit(
 ) -> dict:
     """Append one snapshot: the previous partition→run mapping plus this
     run's partitions (replacing any it rewrote — dynamic-overwrite
-    semantics). Returns the new snapshot record. The write is
-    atomic-rename (tmp file + os.replace), so a reader never observes a
-    half-written snapshot — the commit-point analog of an Iceberg
-    metadata swap."""
-    prev = snapshots(table_path)
-    parent = prev[-1] if prev else None
-    parts = dict(parent["partitions"]) if parent else {}
-    for pid in partition_ids:
-        parts[str(int(pid))] = run_id
-    snap = {
-        "snapshot_id": (parent["snapshot_id"] + 1) if parent else 1,
-        "parent_id": parent["snapshot_id"] if parent else None,
-        "run_id": run_id,
-        "committed_ms": int(time.time() * 1000),
-        "partitions": parts,
-    }
+    semantics). Returns the new snapshot record.
+
+    Concurrency: optimistic, Iceberg-style. The snapshot file is published
+    with `os.link` (atomic create-exclusive on POSIX): if a concurrent
+    writer already claimed the same snapshot_id, the link fails and we
+    re-read the log and retry on top of the new parent — neither commit
+    is lost (r3 review #4: a plain tmp+os.replace silently clobbered the
+    loser). Readers never observe a half-written file."""
     d = _snapshot_dir(table_path)
     os.makedirs(d, exist_ok=True)
-    final = os.path.join(d, f"snap-{snap['snapshot_id']:08d}.json")
-    tmp = final + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(snap, f)
-    os.replace(tmp, final)
-    return snap
+    for _ in range(50):
+        prev = snapshots(table_path)
+        parent = prev[-1] if prev else None
+        parts = dict(parent["partitions"]) if parent else {}
+        for pid in partition_ids:
+            parts[str(int(pid))] = run_id
+        snap = {
+            "snapshot_id": (parent["snapshot_id"] + 1) if parent else 1,
+            "parent_id": parent["snapshot_id"] if parent else None,
+            "run_id": run_id,
+            "committed_ms": int(time.time() * 1000),
+            "partitions": parts,
+        }
+        final = os.path.join(d, f"snap-{snap['snapshot_id']:08d}.json")
+        tmp = os.path.join(d, f".snap-{run_id}-{os.getpid()}.tmp")
+        with open(tmp, "w") as f:
+            json.dump(snap, f)
+        try:
+            os.link(tmp, final)  # atomic create-exclusive publish
+            return snap
+        except FileExistsError:
+            continue  # lost the race: re-read the log, retry on new parent
+        finally:
+            os.unlink(tmp)
+    raise RuntimeError(
+        f"snapshot_commit: could not claim a snapshot id under {d} "
+        "after 50 attempts"
+    )
 
 
 def read_extracted_as_of(

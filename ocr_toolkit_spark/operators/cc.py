@@ -117,9 +117,21 @@ def connected_components(
     O(log n) rounds; use for general graphs with long chains)."""
     e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     if algorithm == "star":
-        return _star_components(
+        labeled = _star_components(
             e.filter(F.col("src") != F.col("dst")).distinct(), max_iter
         )
+        # nodes whose ONLY appearance is a self-pair were dropped with the
+        # self-loop filter; restore them as their own singleton component
+        # (contract: every node appearing in `pairs` — r3 review #2)
+        nodes = (
+            e.select(F.col("src").alias("node"))
+            .unionByName(e.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+        singletons = nodes.join(
+            labeled.select("node"), "node", "left_anti"
+        ).withColumn("component", F.col("node"))
+        return labeled.unionByName(singletons)
     if algorithm != "hash_min":
         raise ValueError(f"unknown algorithm {algorithm!r}")
     edges = e.unionByName(

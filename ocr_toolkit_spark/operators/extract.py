@@ -507,7 +507,9 @@ def _process_batch(
         # and the REST of the batch still completes — one pathological doc
         # can no longer poison its task's output, though it still costs
         # its own parse time once.
-        budget_s = doc_budget_ms / 1000.0 if doc_budget_ms else None
+        # `is not None`: a budget of 0 means STRICTEST containment (every
+        # per-doc parse over 0 ms is flagged), not "disabled" (r3 review)
+        budget_s = doc_budget_ms / 1000.0 if doc_budget_ms is not None else None
         i = 0
         while i < len(html_rows):
             j = i

@@ -116,6 +116,10 @@ def quality_columns(t: Column, include_repeat_penalty: bool = True) -> dict[str,
     }
 
 
+QUALITY_COL_NAMES = ("length_score", "structure_score", "diversity_score",
+                     "error_penalty", "total_score")
+
+
 def with_quality(df: DataFrame, text_col: str = "text",
                  include_repeat_penalty: bool = True,
                  prefix: str = "") -> DataFrame:
@@ -132,54 +136,63 @@ def with_quality(df: DataFrame, text_col: str = "text",
 
     `prefix` prefixes the five output column names (for side-by-side md/ocr
     scoring). Exact-equality with the reference formula is pinned by
-    tests/test_reference_direct.py::TestQualityDirect."""
+    tests/test_reference_direct.py::TestQualityDirect.
+
+    Re-scoring a frame that already carries the output columns REPLACES
+    them (withColumn semantics — r3 review #3); internal scratch columns
+    use the `_ocrtkq_` namespace and exactly those are dropped, so user
+    columns are never touched."""
+    out_names = [f"{prefix}{n}" for n in QUALITY_COL_NAMES]
+    clashing = [c for c in df.columns if c in out_names]
+    if clashing:
+        df = df.drop(*clashing)
     t = py_strip(F.col(text_col))
-    layer1 = df.withColumn("_qt", t)
-    tt = F.col("_qt")
+    layer1 = df.withColumn("_ocrtkq_t", t)
+    tt = F.col("_ocrtkq_t")
     word_runs = F.regexp_extract_all(tt, F.lit(rf"([{_WORD}]+)"), 1)
     prims = [
-        F.length(tt).alias("_q_len"),
-        F.regexp_count(tt, F.lit(rf"(?dm)^#+[{_WS}]")).alias("_q_headers"),
+        F.length(tt).alias("_ocrtkq_len"),
+        F.regexp_count(tt, F.lit(rf"(?dm)^#+[{_WS}]")).alias("_ocrtkq_headers"),
         F.regexp_count(
             tt, F.lit(rf"(?dm)^[-*•][{_WS}]|^\p{{Nd}}+\.[{_WS}]")
-        ).alias("_q_lists"),
-        (F.regexp_count(tt, F.lit(rf"\n[{_WS}]*\n")) + 1).alias("_q_paras"),
-        _nonblank_lines(tt).alias("_q_nonblank"),
+        ).alias("_ocrtkq_lists"),
+        (F.regexp_count(tt, F.lit(rf"\n[{_WS}]*\n")) + 1).alias("_ocrtkq_paras"),
+        _nonblank_lines(tt).alias("_ocrtkq_nonblank"),
         F.size(
             F.array_distinct(F.split(F.translate(F.lower(tt), " \n", ""), ""))
-        ).alias("_q_uniq"),
+        ).alias("_ocrtkq_uniq"),
         F.regexp_count(
             tt, F.lit(rf'[^{_WORD}{_WS}\n.,!?;:()\[\]{{}}""' "-]")
-        ).alias("_q_special"),
-        F.size(word_runs).alias("_q_words"),
+        ).alias("_ocrtkq_special"),
+        F.size(word_runs).alias("_ocrtkq_words"),
         F.size(F.filter(word_runs, lambda w: F.length(w) == 1)).alias(
-            "_q_short"
+            "_ocrtkq_short"
         ),
     ]
     if include_repeat_penalty:
         prims.append(
-            (F.regexp_count(tt, F.lit(r"(.)\1{4,}")) > 0).alias("_q_repeat")
+            (F.regexp_count(tt, F.lit(r"(.)\1{4,}")) > 0).alias("_ocrtkq_repeat")
         )
     layer2 = layer1.select("*", *prims)
 
-    empty = tt.isNull() | (F.col("_q_len") == 0)
-    length_score = F.least(F.col("_q_len") / 1000.0, F.lit(10.0)) * 10.0
+    empty = tt.isNull() | (F.col("_ocrtkq_len") == 0)
+    length_score = F.least(F.col("_ocrtkq_len") / 1000.0, F.lit(10.0)) * 10.0
     structure_score = F.least(
-        F.least(F.col("_q_headers") * 5.0, F.lit(30.0))
-        + F.least(F.col("_q_lists") * 2.0, F.lit(20.0))
-        + F.least(F.col("_q_paras") * 1.0, F.lit(20.0))
-        + F.least(F.col("_q_nonblank") * 0.5, F.lit(30.0)),
+        F.least(F.col("_ocrtkq_headers") * 5.0, F.lit(30.0))
+        + F.least(F.col("_ocrtkq_lists") * 2.0, F.lit(20.0))
+        + F.least(F.col("_ocrtkq_paras") * 1.0, F.lit(20.0))
+        + F.least(F.col("_ocrtkq_nonblank") * 0.5, F.lit(30.0)),
         F.lit(100.0),
     )
-    diversity_score = F.least(F.col("_q_uniq") * 2.0, F.lit(100.0))
-    special_ratio = F.col("_q_special") / F.col("_q_len")
+    diversity_score = F.least(F.col("_ocrtkq_uniq") * 2.0, F.lit(100.0))
+    special_ratio = F.col("_ocrtkq_special") / F.col("_ocrtkq_len")
     short_ratio = F.when(
-        F.col("_q_words") > 0, F.col("_q_short") / F.col("_q_words")
+        F.col("_ocrtkq_words") > 0, F.col("_ocrtkq_short") / F.col("_ocrtkq_words")
     ).otherwise(F.lit(0.0))
     penalty = F.lit(1.0)
     if include_repeat_penalty:
         penalty = penalty * F.when(
-            F.col("_q_repeat"), F.lit(0.8)
+            F.col("_ocrtkq_repeat"), F.lit(0.8)
         ).otherwise(F.lit(1.0))
     penalty = penalty * F.when(
         special_ratio > QUALITY_SPECIAL_CHAR_THRESHOLD, F.lit(0.9)
@@ -207,8 +220,8 @@ def with_quality(df: DataFrame, text_col: str = "text",
         + F.col(f"{prefix}diversity_score") * 0.3
     ) * F.col(f"{prefix}error_penalty")
     out = layer3.withColumn(f"{prefix}total_score", total)
-    drop = [c for c in out.columns if c.startswith("_q")]
-    return out.drop(*drop)
+    internal = [c for c in out.columns if c.startswith("_ocrtkq_")]
+    return out.drop(*internal)
 
 
 def lang_id(t: Column) -> Column:
@@ -296,6 +309,55 @@ def preference(table: dict[str, float], ext: Column) -> Column:
     return F.coalesce(m[F.lower(ext)], F.lit(1.0))
 
 
+def _r4(x: Column) -> Column:
+    """Fixed-point HALF_UP to 4 decimals — engine-portable, unlike
+    round(x, 4) whose half-boundary behavior differs Spark vs DuckDB."""
+    return F.floor(x * 10000 + F.lit(0.5)) / 10000.0
+
+
+def _fmt1(x: Column) -> Column:
+    """One-decimal rendering via explicit HALF_UP fixed-point (x ≥ 0):
+    '%.1f' rounds binary doubles differently in Java/C/Python at .x5."""
+    i = F.floor(x * 10 + F.lit(0.5)).cast("long")
+    return F.concat(
+        (i / 10).cast("long").cast("string"), F.lit("."),
+        (i % 10).cast("string"),
+    )
+
+
+def _selection_cols(
+    md_avail: Column, ocr_avail: Column, md_final: Column, ocr_final: Column
+) -> tuple[Column, Column]:
+    """(chosen_method, selection_reason) from availability + final scores —
+    the ONE encoding of the reference's selection/reason rules
+    (quality_evaluator.py:161-233), shared by `compare_methods` and
+    `with_compare_methods` so they cannot drift."""
+    md_wins = md_final > ocr_final
+    reason_md = F.concat(
+        F.lit("MarkItDown scored "), _fmt1(md_final), F.lit(" vs OCR "),
+        _fmt1(ocr_final), F.lit(" (+"), _fmt1(md_final - ocr_final),
+        F.lit(")"),
+    )
+    reason_ocr = F.concat(
+        F.lit("OCR scored "), _fmt1(ocr_final), F.lit(" vs MarkItDown "),
+        _fmt1(md_final), F.lit(" (+"), _fmt1(ocr_final - md_final),
+        F.lit(")"),
+    )
+    chosen = (
+        F.when(md_avail & ~ocr_avail, F.lit("markitdown"))
+        .when(ocr_avail & ~md_avail, F.lit("ocr"))
+        .when(~md_avail & ~ocr_avail, F.lit("ocr"))
+        .otherwise(F.when(md_wins, F.lit("markitdown")).otherwise(F.lit("ocr")))
+    )
+    reason = (
+        F.when(md_avail & ~ocr_avail, F.lit("Only MarkItDown succeeded"))
+        .when(ocr_avail & ~md_avail, F.lit("Only OCR succeeded"))
+        .when(~md_avail & ~ocr_avail, F.lit("Both methods failed"))
+        .otherwise(F.when(md_wins, reason_md).otherwise(reason_ocr))
+    )
+    return chosen, reason
+
+
 def compare_methods(
     md_success: Column,
     md_content: Column,
@@ -339,42 +401,9 @@ def compare_methods(
         quality_columns(ocr_content, include_repeat_penalty)["total_score"]
         * preference(OCR_PREFERENCE, ext)
     )
-    def r4(x: Column) -> Column:
-        # fixed-point HALF_UP to 4 decimals — engine-portable, unlike
-        # round(x, 4) whose half-boundary behavior differs Spark vs DuckDB
-        return F.floor(x * 10000 + F.lit(0.5)) / 10000.0
-
-    md_final = F.when(both, r4(md_raw)).otherwise(z)
-    ocr_final = F.when(both, r4(ocr_raw)).otherwise(z)
-
-    def fmt(x: Column) -> Column:
-        i = F.floor(x * 10 + F.lit(0.5)).cast("long")  # x >= 0 always here
-        return F.concat(
-            (i / 10).cast("long").cast("string"), F.lit("."),
-            (i % 10).cast("string"),
-        )
-
-    md_wins = md_final > ocr_final
-    reason_md = F.concat(
-        F.lit("MarkItDown scored "), fmt(md_final), F.lit(" vs OCR "),
-        fmt(ocr_final), F.lit(" (+"), fmt(md_final - ocr_final), F.lit(")"),
-    )
-    reason_ocr = F.concat(
-        F.lit("OCR scored "), fmt(ocr_final), F.lit(" vs MarkItDown "),
-        fmt(md_final), F.lit(" (+"), fmt(ocr_final - md_final), F.lit(")"),
-    )
-    chosen = (
-        F.when(md_avail & ~ocr_avail, F.lit("markitdown"))
-        .when(ocr_avail & ~md_avail, F.lit("ocr"))
-        .when(~md_avail & ~ocr_avail, F.lit("ocr"))
-        .otherwise(F.when(md_wins, F.lit("markitdown")).otherwise(F.lit("ocr")))
-    )
-    reason = (
-        F.when(md_avail & ~ocr_avail, F.lit("Only MarkItDown succeeded"))
-        .when(ocr_avail & ~md_avail, F.lit("Only OCR succeeded"))
-        .when(~md_avail & ~ocr_avail, F.lit("Both methods failed"))
-        .otherwise(F.when(md_wins, reason_md).otherwise(reason_ocr))
-    )
+    md_final = F.when(both, _r4(md_raw)).otherwise(z)
+    ocr_final = F.when(both, _r4(ocr_raw)).otherwise(z)
+    chosen, reason = _selection_cols(md_avail, ocr_avail, md_final, ocr_final)
     return {
         "chosen_method": chosen,
         "selection_reason": reason,
@@ -398,35 +427,43 @@ def with_compare_methods(
     tests), but the two quality trees are evaluated through the LAYERED
     `with_quality` (each primitive once per row) instead of being inlined
     into every output expression — the same ~10× blowup `with_quality`
-    fixes, doubled (md + ocr sides)."""
+    fixes, doubled (md + ocr sides). Selection/reason/rounding logic is
+    the shared `_selection_cols`/`_r4` encoding — no second copy to
+    drift. Pre-existing output columns are replaced (withColumn
+    semantics); scratch columns live in the `_ocrtkcm_`/`_ocrtkq_`
+    namespaces and exactly those are dropped."""
+    out_names = ["markitdown_available", "ocr_available",
+                 "markitdown_score", "ocr_score",
+                 "chosen_method", "selection_reason"]
+    clashing = [c for c in df.columns if c in out_names]
+    if clashing:
+        df = df.drop(*clashing)
     d = df.withColumns({
-        "_cm_md_ok": md_success, "_cm_md_tx": md_content,
-        "_cm_ocr_ok": ocr_success, "_cm_ocr_tx": ocr_content,
-        "_cm_ext": ext,
+        "_ocrtkcm_md_ok": md_success, "_ocrtkcm_md_tx": md_content,
+        "_ocrtkcm_ocr_ok": ocr_success, "_ocrtkcm_ocr_tx": ocr_content,
+        "_ocrtkcm_ext": ext,
     })
-    d = with_quality(d, "_cm_md_tx", include_repeat_penalty, prefix="_cmmd_")
-    d = with_quality(d, "_cm_ocr_tx", include_repeat_penalty, prefix="_cmocr_")
+    d = with_quality(d, "_ocrtkcm_md_tx", include_repeat_penalty,
+                     prefix="_ocrtkcm_md_")
+    d = with_quality(d, "_ocrtkcm_ocr_tx", include_repeat_penalty,
+                     prefix="_ocrtkcm_ocr_")
 
     md_avail = (
-        F.col("_cm_md_ok")
-        & F.col("_cm_md_tx").isNotNull()
-        & (F.length("_cm_md_tx") > 0)
+        F.col("_ocrtkcm_md_ok")
+        & F.col("_ocrtkcm_md_tx").isNotNull()
+        & (F.length("_ocrtkcm_md_tx") > 0)
     )
     ocr_avail = (
-        F.col("_cm_ocr_ok")
-        & F.col("_cm_ocr_tx").isNotNull()
-        & (F.length("_cm_ocr_tx") > 0)
+        F.col("_ocrtkcm_ocr_ok")
+        & F.col("_ocrtkcm_ocr_tx").isNotNull()
+        & (F.length("_ocrtkcm_ocr_tx") > 0)
     )
     z = F.lit(0.0)
-
-    def r4(x: Column) -> Column:
-        return F.floor(x * 10000 + F.lit(0.5)) / 10000.0
-
-    md_raw = F.col("_cmmd_total_score") * preference(
-        MARKITDOWN_PREFERENCE, F.col("_cm_ext")
+    md_raw = F.col("_ocrtkcm_md_total_score") * preference(
+        MARKITDOWN_PREFERENCE, F.col("_ocrtkcm_ext")
     )
-    ocr_raw = F.col("_cmocr_total_score") * preference(
-        OCR_PREFERENCE, F.col("_cm_ext")
+    ocr_raw = F.col("_ocrtkcm_ocr_total_score") * preference(
+        OCR_PREFERENCE, F.col("_ocrtkcm_ext")
     )
     d = d.select(
         "*",
@@ -436,43 +473,15 @@ def with_compare_methods(
     both = F.col("markitdown_available") & F.col("ocr_available")
     d = d.select(
         "*",
-        F.when(both, r4(md_raw)).otherwise(z).alias("markitdown_score"),
-        F.when(both, r4(ocr_raw)).otherwise(z).alias("ocr_score"),
+        F.when(both, _r4(md_raw)).otherwise(z).alias("markitdown_score"),
+        F.when(both, _r4(ocr_raw)).otherwise(z).alias("ocr_score"),
     )
-
-    def fmt(x: Column) -> Column:
-        i = F.floor(x * 10 + F.lit(0.5)).cast("long")
-        return F.concat(
-            (i / 10).cast("long").cast("string"), F.lit("."),
-            (i % 10).cast("string"),
-        )
-
-    mdf, ocrf = F.col("markitdown_score"), F.col("ocr_score")
-    md_wins = mdf > ocrf
-    reason_md = F.concat(
-        F.lit("MarkItDown scored "), fmt(mdf), F.lit(" vs OCR "),
-        fmt(ocrf), F.lit(" (+"), fmt(mdf - ocrf), F.lit(")"),
-    )
-    reason_ocr = F.concat(
-        F.lit("OCR scored "), fmt(ocrf), F.lit(" vs MarkItDown "),
-        fmt(mdf), F.lit(" (+"), fmt(ocrf - mdf), F.lit(")"),
-    )
-    ma, oa = F.col("markitdown_available"), F.col("ocr_available")
-    chosen = (
-        F.when(ma & ~oa, F.lit("markitdown"))
-        .when(oa & ~ma, F.lit("ocr"))
-        .when(~ma & ~oa, F.lit("ocr"))
-        .otherwise(F.when(md_wins, F.lit("markitdown")).otherwise(F.lit("ocr")))
-    )
-    reason = (
-        F.when(ma & ~oa, F.lit("Only MarkItDown succeeded"))
-        .when(oa & ~ma, F.lit("Only OCR succeeded"))
-        .when(~ma & ~oa, F.lit("Both methods failed"))
-        .otherwise(F.when(md_wins, reason_md).otherwise(reason_ocr))
+    chosen, reason = _selection_cols(
+        F.col("markitdown_available"), F.col("ocr_available"),
+        F.col("markitdown_score"), F.col("ocr_score"),
     )
     out = d.select(
         "*", chosen.alias("chosen_method"), reason.alias("selection_reason")
     )
-    drop = [c for c in out.columns
-            if c.startswith(("_cm", "_cmmd_", "_cmocr_"))]
-    return out.drop(*drop)
+    internal = [c for c in out.columns if c.startswith("_ocrtkcm_")]
+    return out.drop(*internal)

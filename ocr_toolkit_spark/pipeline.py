@@ -183,11 +183,16 @@ def run_extraction(
     lineage = spark.createDataFrame(
         rows, schema=LINEAGE_ROW_SCHEMA
     ).withColumn("committed_at", F.current_timestamp())
-    tio.append_lineage(lineage, lineage_path)
-    # snapshot-commit (Iceberg metadata-swap analog): atomically record the
-    # cumulative partition→run mapping so readers can pin or time-travel
+    # Commit ORDER: data write → snapshot → lineage. A crash between
+    # snapshot and lineage leaves a snapshot whose partitions all have
+    # written data (the write already happened) but no lineage row — the
+    # next run re-processes them idempotently and the merge re-records the
+    # new owner. The reverse order would leave lineage rows whose
+    # partitions never reach any snapshot: resume would skip them forever
+    # while snapshot reads silently miss committed data (r3 review #1).
     if n_new:
         tio.snapshot_commit(output_path, run_id, [pid for pid, _ in parts])
+    tio.append_lineage(lineage, lineage_path)
     return RunStats(
         run_id=run_id,
         partitions_processed=n_new,

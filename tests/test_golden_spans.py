@@ -120,3 +120,9 @@ def test_doc_budget_contains_pathological_doc_without_poisoning_batch():
     generous = spans_of(
         _process_batch(batch, True, doc_budget_ms=60000.0).to_pylist())
     assert generous == base
+
+    # budget 0 = STRICTEST containment, not disabled (r3 review): same
+    # flag set as the near-zero budget
+    zero = _process_batch(batch, True, doc_budget_ms=0.0).to_pylist()
+    assert {r["doc_id"] for r in zero if r["error"].startswith("timeout:")} \
+        == {r["doc_id"] for r in timed_out}

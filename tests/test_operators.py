@@ -500,3 +500,74 @@ class TestWithCompareMethodsEquality:
              for r in with_compare_methods(df, *args).select(
                  "id", *names).collect()}
         assert a == b
+
+
+class TestR3ReviewFixes:
+    def test_star_keeps_self_loop_only_nodes(self, spark):
+        """A node whose only appearance is a self-pair must still appear
+        in the star output as its own singleton component (contract:
+        every node appearing in pairs)."""
+        from ocr_toolkit_spark.operators.cc import connected_components
+
+        pairs = spark.createDataFrame(
+            [(5, 5), (1, 2)], "id_a int, id_b int")
+        a = {r.node: r.component
+             for r in connected_components(pairs).collect()}
+        b = {r.node: r.component
+             for r in connected_components(pairs, algorithm="star").collect()}
+        assert a == b == {1: 1, 2: 1, 5: 5}
+
+    def test_with_quality_rescoring_replaces_and_keeps_user_cols(self, spark):
+        """Re-scoring a frame that already carries quality columns must
+        replace them (withColumn semantics), and user columns that happen
+        to share the old internal prefix must survive."""
+        from ocr_toolkit_spark.operators.textstats import with_quality
+
+        df = spark.createDataFrame(
+            [(1, "some plain text here", "tag")],
+            "id int, text string, _query_tag string")
+        once = with_quality(df, "text")
+        twice = with_quality(once, "text")
+        assert twice.columns == once.columns  # no duplicates
+        assert "_query_tag" in twice.columns
+        r1, r2 = once.collect()[0], twice.collect()[0]
+        assert r1["total_score"] == r2["total_score"]
+
+    def test_snapshot_commit_survives_id_collision(self, tmpdir_path):
+        """Optimistic concurrency: if the computed snapshot id is already
+        claimed (concurrent writer), the commit retries on the new parent
+        instead of clobbering — both commits survive in the log."""
+        import json as _json
+        import os as _os
+
+        from ocr_toolkit_spark import io as tio
+
+        table = _os.path.join(tmpdir_path, "snap_table")
+        tio.snapshot_commit(table, "run-1", [0, 1])
+        # simulate a concurrent writer that already claimed id 2
+        d = _os.path.join(table, "_snapshots")
+        with open(_os.path.join(d, "snap-00000002.json"), "w") as f:
+            _json.dump({"snapshot_id": 2, "parent_id": 1,
+                        "run_id": "race-winner", "committed_ms": 0,
+                        "partitions": {"0": "run-1", "1": "run-1",
+                                       "7": "race-winner"}}, f)
+        snap = tio.snapshot_commit(table, "run-2", [3])
+        assert snap["snapshot_id"] == 3 and snap["parent_id"] == 2
+        # nothing lost: run-2's snapshot merges the race-winner's partition
+        assert snap["partitions"]["7"] == "race-winner"
+        assert snap["partitions"]["3"] == "run-2"
+        assert [s["run_id"] for s in tio.snapshots(table)] == [
+            "run-1", "race-winner", "run-2"]
+
+    def test_ann_recall_divides_by_bf_count(self, spark):
+        """recall must be hits / per-query brute-force count, not /k: a
+        perfect ANN on a corpus with fewer than k neighbors scores 1.0."""
+        import __spark_entry__ as em
+        from ocr_toolkit_spark.operators.similarity import brute_force_topk
+
+        vecs = spark.createDataFrame(
+            [(i, [float(i), 1.0]) for i in range(4)],
+            "vec_id int, embedding array<float>")
+        bf = brute_force_topk(vecs, vecs, k=10)  # ≤3 neighbors per query
+        rep = em._ann_recall_report(bf, bf, k=10, floor=0.9).collect()[0]
+        assert rep["mean_recall"] == 1.0 and rep["meets_floor"]
