@@ -189,11 +189,17 @@ def minhash_lsh_candidates(
     n_hashes: int = 64,
     bands: int = 16,
     max_bucket: int = DEFAULT_MAX_BUCKET,
+    materialize_frames: bool = True,
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) from banded MinHash buckets.
     One shuffle to bucket (explode bands → join), never O(n²): buckets
     above `max_bucket` members are star-linked to their representative
-    instead of all-paired (see operators/skew.py)."""
+    instead of all-paired (see operators/skew.py).
+
+    `materialize_frames=False` keeps construction fully lazy (no eager
+    checkpoint jobs at call time) — useful for plan inspection or
+    conditional branches; the default trades construction-time jobs for
+    signature-computed-once execution (r3 review #8)."""
     rows_per_band = n_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, k, n_hashes)
     banded = sig.select(
@@ -211,7 +217,8 @@ def minhash_lsh_candidates(
     )
     return (
         star_capped_pairs(banded, ["band", "band_hash"], "id",
-                          max_bucket=max_bucket)
+                          max_bucket=max_bucket,
+                          materialize_input=materialize_frames)
         .distinct()
     )
 
@@ -223,6 +230,7 @@ def jaccard_verify(
     text_col: str = "text",
     k: int = 5,
     threshold: float = 0.7,
+    materialize_frames: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard on candidate pairs only (array set algebra).
 
@@ -232,8 +240,10 @@ def jaccard_verify(
     shingled the entire corpus to verify a handful of pairs). Both the
     candidate frame and the shingle frame are materialized: candidates
     feed three references (two id projections + the pair join) and the
-    shingle frame two (the _a and _b sides)."""
-    candidates = materialize(candidates)
+    shingle frame two (the _a and _b sides). `materialize_frames=False`
+    keeps construction lazy (plan inspection; r3 review #8)."""
+    if materialize_frames:
+        candidates = materialize(candidates)
     cand_ids = (
         candidates.select(F.col("id_a").alias("cid"))
         .unionByName(candidates.select(F.col("id_b").alias("cid")))
@@ -242,7 +252,9 @@ def jaccard_verify(
     needed = df.join(
         cand_ids, F.col(id_col) == F.col("cid"), "left_semi"
     )
-    sh = materialize(shingle_frame(needed, id_col, text_col, k))
+    sh = shingle_frame(needed, id_col, text_col, k)
+    if materialize_frames:
+        sh = materialize(sh)
     j = (
         candidates.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
         .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
@@ -309,6 +321,7 @@ def simhash_near_dups(
     max_hamming: int = 3,
     chunks: int = 4,
     max_bucket: int = DEFAULT_MAX_BUCKET,
+    materialize_frames: bool = True,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(sig) ≤ max_hamming.
 
@@ -340,7 +353,7 @@ def simhash_near_dups(
     )
     cand = star_capped_pairs(
         pieces, ["chunk", "val"], "id", payload_cols=("sig",),
-        max_bucket=max_bucket,
+        max_bucket=max_bucket, materialize_input=materialize_frames,
     ).distinct()
     return (
         cand.withColumn(

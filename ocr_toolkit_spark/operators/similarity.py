@@ -300,6 +300,7 @@ def embedding_near_dups(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_bucket: int = DEFAULT_MAX_BUCKET,
+    materialize_frames: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via SRP bucket self-join +
     exact verification (the embedding analog of MinHash-LSH dedup).
@@ -313,7 +314,8 @@ def embedding_near_dups(
     )
     return (
         star_capped_pairs(v, ["bucket"], "id", payload_cols=("vec",),
-                          max_bucket=max_bucket)
+                          max_bucket=max_bucket,
+                          materialize_input=materialize_frames)
         .withColumn("sim", cosine(F.col("vec_a"), F.col("vec_b")))
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
