@@ -195,3 +195,34 @@ def test_snapshot_commit_and_time_travel(spark, tmpdir_path):
 
     with pytest.raises(ValueError):
         tio.read_extracted_as_of(spark, out, 99)
+
+
+def test_snapshot_log_random_run_sequences(tmpdir_path):
+    """Property: for ANY sequence of commits (random partition subsets,
+    overlapping owners), the latest snapshot's mapping equals the
+    fold-left of the commits, ids are dense and parent-linked, and every
+    as-of view equals the prefix fold — the invariant the resume +
+    time-travel story rests on."""
+    import random as _random
+
+    from ocr_toolkit_spark import io as tio
+
+    rng = _random.Random(73)
+    for trial in range(5):
+        table = os.path.join(tmpdir_path, f"snaplog{trial}")
+        expected: dict[str, str] = {}
+        prefixes = []
+        for i in range(rng.randrange(2, 7)):
+            run = f"run-{i}"
+            pids = rng.sample(range(16), rng.randrange(1, 6))
+            tio.snapshot_commit(table, run, pids)
+            for p in pids:
+                expected[str(p)] = run
+            prefixes.append(dict(expected))
+        snaps = tio.snapshots(table)
+        assert [s["snapshot_id"] for s in snaps] == list(
+            range(1, len(prefixes) + 1))
+        assert [s["parent_id"] for s in snaps] == [
+            None, *range(1, len(prefixes))]
+        for s, want in zip(snaps, prefixes):
+            assert s["partitions"] == want, (trial, s["snapshot_id"])
