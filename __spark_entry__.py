@@ -505,6 +505,24 @@ def q_date_trunc(spark, sf_dir):
     )
 
 
+def q_percentiles(spark, sf_dir):
+    """Exact percentiles (sort-based `percentile`, linear interpolation)
+    per language — the quantile function family. Fixed-point HALF_UP on
+    both sides (never round()/printf for hashed values)."""
+    d = _docs(spark, sf_dir)
+
+    def r4(c):
+        return F.floor(c * 10000 + F.lit(0.5)) / 10000.0
+
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        r4(F.expr("percentile(n_chars, 0.25)")).alias("p25"),
+        r4(F.expr("percentile(n_chars, 0.5)")).alias("p50"),
+        r4(F.expr("percentile(n_chars, 0.9)")).alias("p90"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
 def q_json_extract(spark, sf_dir):
     """JSON functions: extract props.k, bucket it, aggregate."""
     ev = _t(spark, sf_dir, "events")
@@ -692,6 +710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops": q_set_ops,
         "semi_join": q_semi_join,
         "date_trunc": q_date_trunc,
+        "percentiles": q_percentiles,
         "json_extract": q_json_extract,
         "window_running": q_window_running,
         "rollup_orders": q_rollup_orders,
@@ -1078,6 +1097,15 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    round(sum(value), 4) AS total_value
             FROM events GROUP BY 1
+        """,
+        "percentiles": """
+            SELECT lang,
+                   count(*) AS n_docs,
+                   floor(quantile_cont(n_chars, 0.25) * 10000 + 0.5) / 10000.0 AS p25,
+                   floor(quantile_cont(n_chars, 0.5)  * 10000 + 0.5) / 10000.0 AS p50,
+                   floor(quantile_cont(n_chars, 0.9)  * 10000 + 0.5) / 10000.0 AS p90,
+                   max(n_chars) AS max_chars
+            FROM documents GROUP BY lang
         """,
         "json_extract": """
             SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,

@@ -571,3 +571,47 @@ class TestR3ReviewFixes:
         bf = brute_force_topk(vecs, vecs, k=10)  # ≤3 neighbors per query
         rep = em._ann_recall_report(bf, bf, k=10, floor=0.9).collect()[0]
         assert rep["mean_recall"] == 1.0 and rep["meets_floor"]
+
+
+class TestSessionizeVsNative:
+    def test_matches_spark_session_window(self, spark):
+        """Our lag-based sessionize vs Spark's built-in session_window on
+        fuzzed event streams: identical per-user session sizes (away from
+        the exact-gap boundary, where the semantics differ by design —
+        ours keeps an exact-gap event in the session [strict >], the
+        native operator closes at >=; pinned separately by
+        test_exact_boundary_gap_keeps_session)."""
+        import datetime as dt
+        import random as _random
+
+        from pyspark.sql import functions as F
+
+        from ocr_toolkit_spark.operators.sessions import sessionize
+
+        rng = _random.Random(55)
+        base = dt.datetime(2024, 3, 1)
+        rows, eid = [], 0
+        for user in range(6):
+            t = base
+            for _ in range(rng.randrange(3, 25)):
+                # seconds-granular gaps, never exactly 30:00
+                t += dt.timedelta(seconds=rng.randrange(1, 5400))
+                if (t - base).total_seconds() % 1800 == 0:
+                    t += dt.timedelta(seconds=1)
+                rows.append((eid, user, t)); eid += 1
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, ts timestamp")
+
+        ours = {
+            (r.user_id, r.session_start): r.n_events
+            for r in sessionize(df, gap_minutes=30).collect()
+        }
+        native = {
+            (r.user_id, r.start): r.n
+            for r in df.groupBy(
+                "user_id", F.session_window("ts", "30 minutes").alias("w"))
+            .agg(F.count("*").alias("n"))
+            .select("user_id", F.col("w.start").alias("start"), "n")
+            .collect()
+        }
+        assert ours == native
