@@ -523,6 +523,24 @@ def q_percentiles(spark, sf_dir):
     )
 
 
+def q_stats_moments(spark, sf_dir):
+    """Statistical aggregates (sample stddev/variance, Pearson
+    correlation) per language — numerically stable merge on both engines;
+    fixed-point HALF_UP at 4 decimals for the hash compare."""
+    d = _docs(spark, sf_dir)
+
+    def r4(c):
+        return F.floor(c * 10000 + F.lit(0.5)) / 10000.0
+
+    ln = F.length("text").cast("double")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        r4(F.stddev_samp("n_chars")).alias("sd_chars"),
+        r4(F.var_samp("n_chars")).alias("var_chars"),
+        r4(F.corr(F.col("n_chars").cast("double"), ln)).alias("corr_len"),
+    )
+
+
 def q_json_extract(spark, sf_dir):
     """JSON functions: extract props.k, bucket it, aggregate."""
     ev = _t(spark, sf_dir, "events")
@@ -711,6 +729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_join": q_semi_join,
         "date_trunc": q_date_trunc,
         "percentiles": q_percentiles,
+        "stats_moments": q_stats_moments,
         "json_extract": q_json_extract,
         "window_running": q_window_running,
         "rollup_orders": q_rollup_orders,
@@ -1105,6 +1124,15 @@ def oracle_sql() -> dict[str, str]:
                    floor(quantile_cont(n_chars, 0.5)  * 10000 + 0.5) / 10000.0 AS p50,
                    floor(quantile_cont(n_chars, 0.9)  * 10000 + 0.5) / 10000.0 AS p90,
                    max(n_chars) AS max_chars
+            FROM documents GROUP BY lang
+        """,
+        "stats_moments": """
+            SELECT lang,
+                   count(*) AS n_docs,
+                   floor(stddev_samp(n_chars) * 10000 + 0.5) / 10000.0 AS sd_chars,
+                   floor(var_samp(n_chars)    * 10000 + 0.5) / 10000.0 AS var_chars,
+                   floor(corr(CAST(n_chars AS DOUBLE), CAST(length(text) AS DOUBLE))
+                         * 10000 + 0.5) / 10000.0 AS corr_len
             FROM documents GROUP BY lang
         """,
         "json_extract": """

@@ -53,6 +53,53 @@ def windowed_event_counts(
     )
 
 
+def session_event_counts(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked per-user SESSION windows (native `session_window`
+    merging state): a session finalizes once the watermark passes its
+    close (last event + gap), so state per user is one open session, not
+    unbounded history. The batch twin is operators/sessions.sessionize —
+    fuzz-pinned equal to the native operator away from the exact-gap
+    boundary (tests/test_operators.py::TestSessionizeVsNative)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def stream_session_counts(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "30 minutes",
+) -> StreamingQuery:
+    """Event files → watermarked session windows → parquet sink, append
+    mode: each closed session row is written exactly once; the checkpoint
+    resumes open-session state across availableNow drains."""
+    agg = session_event_counts(read_events_stream(spark, input_dir), gap,
+                               watermark)
+    return (
+        agg.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_windowed_event_counts(
     spark: SparkSession,
     input_dir: str,

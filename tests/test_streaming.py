@@ -134,3 +134,62 @@ def test_streaming_method_counts(spark, tmpdir_path):
     rows = {r.method: r.docs for r in spark.sql(f"select * from {table}").collect()}
     assert sum(rows.values()) == len(docs)
     assert "text" in rows
+
+
+def test_streaming_session_windows(spark, tmpdir_path):
+    """Per-user session windows in a stream: a session appends exactly
+    once, when the watermark passes its close (last event + gap); within-
+    gap events merge; too-late events neither reopen nor duplicate."""
+    import datetime as dt
+
+    import pyarrow as pa
+
+    from ocr_toolkit_spark.streaming.stream_stats import stream_session_counts
+
+    schema = pa.schema([
+        ("event_id", pa.int64()), ("ts", pa.timestamp("us")),
+        ("user_id", pa.int64()), ("event_type", pa.string()),
+        ("value", pa.float64()), ("props", pa.string()),
+    ])
+
+    def ev(eid, hour, minute, user=1):
+        return {"event_id": eid,
+                "ts": dt.datetime(2024, 1, 1, hour, minute, 0),
+                "user_id": user, "event_type": "A", "value": 1.0,
+                "props": "{}"}
+
+    in_dir = os.path.join(tmpdir_path, "sess_events")
+    os.makedirs(in_dir)
+    ckpt = os.path.join(tmpdir_path, "sess_ckpt")
+    out_dir = os.path.join(tmpdir_path, "sess_out")
+
+    def write(name, rows):
+        pq.write_table(pa.Table.from_pylist(rows, schema=schema),
+                       os.path.join(in_dir, name))
+
+    def drain():
+        q = stream_session_counts(spark, in_dir, out_dir, ckpt)
+        q.awaitTermination(180)
+        try:
+            rows = spark.read.parquet(out_dir).collect()
+        except Exception:
+            return []
+        return sorted(
+            (r.user_id, r.session_start.hour, r.session_start.minute,
+             r.session_end.hour, r.session_end.minute, r.n_events)
+            for r in rows)
+
+    # three events 10 min apart → ONE merged session [10:00, 10:50);
+    # watermark after the drain (10:20 - 30m = 09:50) keeps it open
+    write("s1.parquet", [ev(1, 10, 0), ev(2, 10, 10), ev(3, 10, 20)])
+    assert drain() == []
+
+    # a 12:00 event advances the watermark to 11:30 > 10:50 → the first
+    # session finalizes with all three events; 12:00's session stays open
+    write("s2.parquet", [ev(4, 12, 0)])
+    assert drain() == [(1, 10, 0, 10, 50, 3)]
+
+    # too-late event (10:05, before the 11:30 watermark) is dropped — no
+    # reopen, no duplicate; 13:30 closes the 12:00 session
+    write("s3.parquet", [ev(5, 10, 5), ev(6, 13, 30)])
+    assert drain() == [(1, 10, 0, 10, 50, 3), (1, 12, 0, 12, 30, 1)]
