@@ -523,6 +523,32 @@ def q_percentiles(spark, sf_dir):
     )
 
 
+def q_approx_quantiles(spark, sf_dir):
+    """Sketch-based quantiles vs exact, self-validating (the corpus_qa
+    pattern): approx_percentile's KLL/GK sketch differs across engines,
+    so the entry is rows-only and carries its own error bound — the
+    approximate p50/p90 must land within the value range the exact
+    quantile neighborhood allows (±2.5% rank tolerance)."""
+    d = _docs(spark, sf_dir)
+    eps = 0.025
+    agg = d.agg(
+        F.count("*").alias("n_docs"),
+        F.expr("approx_percentile(n_chars, 0.5, 10000)").alias("ap50"),
+        F.expr("approx_percentile(n_chars, 0.9, 10000)").alias("ap90"),
+        F.expr(f"percentile(n_chars, {0.5 - eps})").alias("lo50"),
+        F.expr(f"percentile(n_chars, {0.5 + eps})").alias("hi50"),
+        F.expr(f"percentile(n_chars, {0.9 - eps})").alias("lo90"),
+        F.expr(f"percentile(n_chars, {0.9 + eps})").alias("hi90"),
+    )
+    return agg.select(
+        "n_docs", "ap50", "ap90",
+        ((F.col("ap50") >= F.col("lo50")) & (F.col("ap50") <= F.col("hi50")))
+        .alias("p50_within_bound"),
+        ((F.col("ap90") >= F.col("lo90")) & (F.col("ap90") <= F.col("hi90")))
+        .alias("p90_within_bound"),
+    )
+
+
 def q_stats_moments(spark, sf_dir):
     """Statistical aggregates (sample stddev/variance, Pearson
     correlation) per language — numerically stable merge on both engines;
@@ -740,6 +766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
         "corpus_qa": q_corpus_qa,
+        "approx_quantiles": q_approx_quantiles,
         "embedding_near_dups": q_embedding_near_dups,
         "media_features": q_media_features,
     }
