@@ -120,6 +120,18 @@ def main() -> int:
         "docs_removed": n_docs - n_kept,
     }
 
+    from ocr_toolkit_spark.operators.cc import full_near_dedup_keep_first
+
+    t0 = time.time()
+    kept_fast = full_near_dedup_keep_first(d, k=5, n_hashes=32, bands=8,
+                                           threshold=0.8)
+    n_kept_fast = kept_fast.count()
+    results["exact_collapse_then_minhash"] = {
+        "seconds": round(time.time() - t0, 2),
+        "docs_kept": n_kept_fast,
+        "same_keep_set_as_direct": n_kept_fast == n_kept,
+    }
+
     t0 = time.time()
     sh = dedup.simhash_near_dups(d, "doc_id", "text", max_hamming=3)
     results["simhash"] = {

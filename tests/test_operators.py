@@ -615,3 +615,44 @@ class TestSessionizeVsNative:
             .collect()
         }
         assert ours == native
+
+
+class TestFullNearDedup:
+    def test_exact_collapse_composition_equals_direct_path(self, spark):
+        """full_near_dedup_keep_first (exact-collapse → near-dup on
+        representatives) must keep EXACTLY the same docs as running the
+        near-dup path over every doc — on the fixture dup corpus and on a
+        fuzzed corpus with duplicate structure."""
+        import random as _random
+
+        from ocr_toolkit_spark.operators.cc import (
+            full_near_dedup_keep_first,
+            near_dedup_keep_first,
+        )
+        from ocr_toolkit_spark.operators.dedup import (
+            jaccard_verify,
+            minhash_lsh_candidates,
+        )
+
+        rng = _random.Random(21)
+        vocab = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+                 "lambda mu nu xi omicron pi rho sigma tau upsilon").split()
+        base = [" ".join(rng.choice(vocab) for _ in range(25)) + f" u{i}"
+                for i in range(40)]
+        rows = [(i, base[i]) for i in range(40)]
+        nid = 40
+        for _ in range(30):  # exact copies
+            rows.append((nid, base[rng.randrange(40)])); nid += 1
+        for _ in range(20):  # near copies (one token changed)
+            toks = base[rng.randrange(40)].split()
+            toks[rng.randrange(len(toks) - 1)] = rng.choice(vocab)
+            rows.append((nid, " ".join(toks))); nid += 1
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+
+        cand = minhash_lsh_candidates(df, k=3, n_hashes=32, bands=8)
+        pairs = jaccard_verify(cand, df, k=3, threshold=0.8)
+        direct = {r.doc_id for r in near_dedup_keep_first(df, pairs).collect()}
+        fast = {r.doc_id for r in full_near_dedup_keep_first(
+            df, k=3, n_hashes=32, bands=8, threshold=0.8).collect()}
+        assert fast == direct
+        assert len(fast) < len(rows)  # something was actually removed
