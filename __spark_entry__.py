@@ -505,20 +505,23 @@ def q_date_trunc(spark, sf_dir):
     )
 
 
+def _r4(c):
+    """Fixed-point HALF_UP to 4 decimals — the ONE engine-portable rounding
+    used by every oracle-hashed value (round()/printf disagree across
+    engines at .x5 halves on binary doubles)."""
+    return F.floor(c * 10000 + F.lit(0.5)) / 10000.0
+
+
 def q_percentiles(spark, sf_dir):
     """Exact percentiles (sort-based `percentile`, linear interpolation)
     per language — the quantile function family. Fixed-point HALF_UP on
     both sides (never round()/printf for hashed values)."""
     d = _docs(spark, sf_dir)
-
-    def r4(c):
-        return F.floor(c * 10000 + F.lit(0.5)) / 10000.0
-
     return d.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
-        r4(F.expr("percentile(n_chars, 0.25)")).alias("p25"),
-        r4(F.expr("percentile(n_chars, 0.5)")).alias("p50"),
-        r4(F.expr("percentile(n_chars, 0.9)")).alias("p90"),
+        _r4(F.expr("percentile(n_chars, 0.25)")).alias("p25"),
+        _r4(F.expr("percentile(n_chars, 0.5)")).alias("p50"),
+        _r4(F.expr("percentile(n_chars, 0.9)")).alias("p90"),
         F.max("n_chars").alias("max_chars"),
     )
 
@@ -554,16 +557,12 @@ def q_stats_moments(spark, sf_dir):
     correlation) per language — numerically stable merge on both engines;
     fixed-point HALF_UP at 4 decimals for the hash compare."""
     d = _docs(spark, sf_dir)
-
-    def r4(c):
-        return F.floor(c * 10000 + F.lit(0.5)) / 10000.0
-
     ln = F.length("text").cast("double")
     return d.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
-        r4(F.stddev_samp("n_chars")).alias("sd_chars"),
-        r4(F.var_samp("n_chars")).alias("var_chars"),
-        r4(F.corr(F.col("n_chars").cast("double"), ln)).alias("corr_len"),
+        _r4(F.stddev_samp("n_chars")).alias("sd_chars"),
+        _r4(F.var_samp("n_chars")).alias("var_chars"),
+        _r4(F.corr(F.col("n_chars").cast("double"), ln)).alias("corr_len"),
     )
 
 

@@ -142,7 +142,12 @@ def snapshot_commit(
             "partitions": parts,
         }
         final = os.path.join(d, f"snap-{snap['snapshot_id']:08d}.json")
-        tmp = os.path.join(d, f".snap-{run_id}-{os.getpid()}.tmp")
+        # uuid: pid alone is not unique across THREADS of one driver —
+        # a shared tmp name lets a concurrent commit truncate the inode
+        # between write and link (r3 review round 2)
+        import uuid as _uuid
+
+        tmp = os.path.join(d, f".snap-{_uuid.uuid4().hex}.tmp")
         with open(tmp, "w") as f:
             json.dump(snap, f)
         try:

@@ -115,7 +115,14 @@ def connected_components(
     `algorithm`: "hash_min" (default — rounds = diameter; right for the
     star-guarded near-dup graphs) or "star" (large-star/small-star,
     O(log n) rounds; use for general graphs with long chains)."""
-    e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    from .skew import materialize
+
+    # one materialization of the (src, dst) projection: both algorithms
+    # reference it multiply (edges union + nodes scan + anti-join), and
+    # `pairs` may carry an expensive unmaterialized LSH/verify lineage
+    e = materialize(
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    )
     if algorithm == "star":
         labeled = _star_components(
             e.filter(F.col("src") != F.col("dst")).distinct(), max_iter
@@ -214,11 +221,19 @@ def full_near_dedup_keep_first(
     3. dropped = exact losers (non-rep copies) ∪ near losers (non-rep
        cluster members among representatives).
 
-    Provably the same keep-set as running near-dedup over all docs with
-    min-id keep-first: every doc's cluster contains its text-group rep
-    (which holds the group-min id), so the cluster minimum over reps
-    equals the cluster minimum over all docs (pinned by
-    tests: full==direct on the fixture dup corpus).
+    Same keep-set as running near-dedup over all docs with min-id
+    keep-first (pinned by tests: full==direct on a fuzzed dup corpus):
+    every doc's cluster contains its text-group rep (which holds the
+    group-min id), so the cluster minimum over reps equals the cluster
+    minimum over all docs. Two documented boundaries of that equality:
+
+    - NULL texts are excluded from the collapse (md5(NULL) would group
+      them; the direct path keeps every NULL-text doc, so must we);
+    - when exact copies inflate a direct-path band bucket past
+      `max_bucket`, the direct path star-caps (drops some member↔member
+      candidates) while the reps-only path stays under the cap — the
+      keep-sets may then differ, and the composition's answer is the
+      HIGHER-RECALL one (capping fires less on collapsed input).
 
     MEASURED trade (BENCH/dedup_scale.json, 1M docs, 25% exact dups):
     this composition was SLOWER than the direct path (281 s vs 145 s) —
@@ -229,10 +244,17 @@ def full_near_dedup_keep_first(
     higher shingle k); prefer the direct path otherwise. Numbers, not
     intuition: the harness re-measures both."""
     from .dedup import jaccard_verify, minhash_lsh_candidates
+    from .skew import materialize
 
-    h = df.select(F.col(id_col).alias("_id"),
-                  F.md5(F.col(text_col)).alias("_h"))
-    rep = h.groupBy("_h").agg(F.min("_id").alias("_rep_id"))
+    # (id, md5) is narrow — materialized so the text scan + hash run once
+    # across the rep groupBy, the losers join and the semi-join (each
+    # frame below is referenced twice)
+    h = materialize(
+        df.filter(F.col(text_col).isNotNull()).select(
+            F.col(id_col).alias("_id"), F.md5(F.col(text_col)).alias("_h")
+        )
+    )
+    rep = materialize(h.groupBy("_h").agg(F.min("_id").alias("_rep_id")))
     exact_losers = (
         h.join(rep, "_h")
         .filter(F.col("_id") != F.col("_rep_id"))
