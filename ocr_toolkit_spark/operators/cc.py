@@ -235,14 +235,14 @@ def full_near_dedup_keep_first(
       keep-sets may then differ, and the composition's answer is the
       HIGHER-RECALL one (capping fires less on collapsed input).
 
-    MEASURED trade (BENCH/dedup_scale.json, 1M docs, 25% exact dups):
-    this composition was SLOWER than the direct path (281 s vs 145 s) —
-    the representative semi-join shuffles the full text column, which
-    costs more than the signature work it saves at that dup rate. Use it
-    when the exact-duplicate fraction is high (boilerplate-heavy crawls)
-    or when the near-dup stage is far heavier (many hash functions,
-    higher shingle k); prefer the direct path otherwise. Numbers, not
-    intuition: the harness re-measures both."""
+    MEASURED trade (BENCH/dedup_scale.json; both keep-sets verified
+    identical by symmetric difference = 0): scale- and corpus-dependent.
+    At 200k docs / 25% exact dups the composition WINS (11.2 s vs 19.3 s
+    direct); at 1M docs the direct path won in every run, though its own
+    wall time varied 50–145 s across runs on this VM — the rep semi-join
+    shuffles the full text column, and whether that beats the saved
+    signature work depends on dup rate, doc size and near-dup config.
+    Numbers, not intuition: the harness re-measures both every run."""
     from .dedup import jaccard_verify, minhash_lsh_candidates
     from .skew import materialize
 
