@@ -566,6 +566,27 @@ def q_stats_moments(spark, sf_dir):
     )
 
 
+def q_window_range(spark, sf_dir):
+    """RANGE-framed window (time-based moving sum over the trailing hour)
+    — the value-based frame variant of window_running's ROWS frame. Both
+    engines order by epoch seconds, so the frame bounds are identical;
+    timezone offsets cancel in the differences."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    secs = F.col("ts").cast("timestamp").cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(secs.alias("_s"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        _r4(F.sum("value").over(w)).alias("hour_sum"),
+    )
+
+
 def q_json_extract(spark, sf_dir):
     """JSON functions: extract props.k, bucket it, aggregate."""
     ev = _t(spark, sf_dir, "events")
@@ -755,6 +776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_trunc": q_date_trunc,
         "percentiles": q_percentiles,
         "stats_moments": q_stats_moments,
+        "window_range": q_window_range,
         "json_extract": q_json_extract,
         "window_running": q_window_running,
         "rollup_orders": q_rollup_orders,
@@ -1151,6 +1173,14 @@ def oracle_sql() -> dict[str, str]:
                    floor(quantile_cont(n_chars, 0.9)  * 10000 + 0.5) / 10000.0 AS p90,
                    max(n_chars) AS max_chars
             FROM documents GROUP BY lang
+        """,
+        "window_range": """
+            SELECT user_id, event_id,
+                   floor(sum(value) OVER (
+                       PARTITION BY user_id ORDER BY epoch(ts)
+                       RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+                     * 10000 + 0.5) / 10000.0 AS hour_sum
+            FROM events WHERE user_id < 10
         """,
         "stats_moments": """
             SELECT lang,
