@@ -29,7 +29,7 @@ def test_first_seen_across_batches_and_restarts(spark, tmpdir_path):
         (3, "Alpha  CONTENT one!!"),  # normalized dup of 1 (same batch)
     ])
     q = run_stream_dedup(spark, in_dir, out, ckpt)
-    q.awaitTermination(120)
+    q.awaitTermination(600)
     first = {r.doc_id for r in spark.read.parquet(out).collect()}
     assert first == {"1", "2"}  # doc 3 deduped in-batch; min doc_id wins
 
@@ -39,7 +39,7 @@ def test_first_seen_across_batches_and_restarts(spark, tmpdir_path):
         (5, "gamma content three"),    # new
     ])
     q2 = run_stream_dedup(spark, in_dir, out, ckpt)
-    q2.awaitTermination(120)
+    q2.awaitTermination(600)
     rows = spark.read.parquet(out).collect()
     ids = sorted(r.doc_id for r in rows)
     assert ids == ["1", "2", "5"], ids

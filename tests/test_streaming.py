@@ -21,7 +21,7 @@ def test_stream_extract_availablenow(spark, tmpdir_path):
     out_dir = os.path.join(tmpdir_path, "out")
     ckpt = os.path.join(tmpdir_path, "ckpt")
     q = stream_extract(spark, in_dir, out_dir, ckpt)
-    q.awaitTermination(120)
+    q.awaitTermination(600)
 
     result = spark.read.parquet(out_dir)
     assert result.count() == len(docs)
@@ -29,7 +29,7 @@ def test_stream_extract_availablenow(spark, tmpdir_path):
 
     # restart with the same checkpoint: nothing new → no duplicates
     q2 = stream_extract(spark, in_dir, out_dir, ckpt)
-    q2.awaitTermination(120)
+    q2.awaitTermination(600)
     assert spark.read.parquet(out_dir).count() == len(docs)
 
     # a new file lands → only it is processed (incremental ingest)
@@ -37,7 +37,7 @@ def test_stream_extract_availablenow(spark, tmpdir_path):
                               "media_ref": "", "offset": 0}]) for i in range(5)]
     pq.write_table(to_arrow(extra), os.path.join(in_dir, "c.parquet"))
     q3 = stream_extract(spark, in_dir, out_dir, ckpt)
-    q3.awaitTermination(120)
+    q3.awaitTermination(600)
     final = spark.read.parquet(out_dir)
     assert final.count() == len(docs) + 5
     assert final.filter("doc_id like 'extra-%'").count() == 5
@@ -83,7 +83,7 @@ def test_watermarked_window_late_data(spark, tmpdir_path):
 
     def drain():
         q = stream_windowed_event_counts(spark, in_dir, out_dir, ckpt)
-        q.awaitTermination(180)
+        q.awaitTermination(600)
         try:
             rows = spark.read.parquet(out_dir).collect()
         except Exception:  # nothing finalized yet → no files
@@ -130,7 +130,7 @@ def test_streaming_method_counts(spark, tmpdir_path):
 
     q, table = streaming_method_counts(
         spark, in_dir, os.path.join(tmpdir_path, "ckpt2"))
-    q.awaitTermination(120)
+    q.awaitTermination(600)
     rows = {r.method: r.docs for r in spark.sql(f"select * from {table}").collect()}
     assert sum(rows.values()) == len(docs)
     assert "text" in rows
@@ -169,7 +169,7 @@ def test_streaming_session_windows(spark, tmpdir_path):
 
     def drain():
         q = stream_session_counts(spark, in_dir, out_dir, ckpt)
-        q.awaitTermination(180)
+        q.awaitTermination(600)
         try:
             rows = spark.read.parquet(out_dir).collect()
         except Exception:
