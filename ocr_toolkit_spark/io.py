@@ -87,61 +87,128 @@ def read_lineage(spark: SparkSession, path: str) -> DataFrame | None:
 # Iceberg's core read contract: a snapshot is an immutable view of the table;
 # readers pin a snapshot id and never see partial commits; `VERSION AS OF n`
 # reads history. This emulation keeps an append-only JSON log under
-# `<table>/_snapshots/` — one file per commit, carrying the cumulative set of
-# (partition_id → owning run) after that commit — and the time-travel read
-# prunes partitions accordingly (partition_id is a physical partition column,
-# so the pruning happens at file-listing time, exactly like Iceberg manifest
-# pruning). With a real catalog these four functions become
-# `writeTo(...).append()` / `table.snapshots()` / `VERSION AS OF`; nothing
-# else in the engine changes.
+# `<table>/_snapshots/` — one file per commit. Each file stores the DELTA
+# (this commit's partition_id → run_id claims); every CHECKPOINT_EVERY-th
+# snapshot (and snapshot 1) additionally embeds the full cumulative
+# `partitions` map, so state reconstruction folds at most CHECKPOINT_EVERY
+# delta files from the nearest checkpoint (r3 verdict #4 / ADVICE: the old
+# cumulative-per-file log made commits and reads O(n) file reads and the log
+# O(n²) bytes). Commits read NO snapshot files except on checkpoint commits
+# (amortized O(1)); the snapshot id is claimed from a directory listing.
+# The time-travel read prunes partitions on the physical partition column at
+# file-listing time, exactly like Iceberg manifest pruning. With a real
+# catalog these functions become `writeTo(...).append()` /
+# `table.snapshots()` / `VERSION AS OF`; nothing else in the engine changes.
+
+CHECKPOINT_EVERY = 32
+
 
 def _snapshot_dir(table_path: str) -> str:
     return os.path.join(table_path, "_snapshots")
 
 
-def snapshots(table_path: str) -> list[dict]:
-    """All committed snapshots, oldest first: {snapshot_id, parent_id,
-    run_id, committed_ms, partitions: {partition_id: run_id}}."""
+def _read_snap(d: str, snapshot_id: int) -> dict:
+    with open(os.path.join(d, f"snap-{snapshot_id:08d}.json")) as f:
+        return json.load(f)
+
+
+def latest_snapshot_id(table_path: str) -> int:
+    """Highest committed snapshot id, 0 if none — one directory listing,
+    zero file reads (ids are dense, so max(name) is the tip)."""
     d = _snapshot_dir(table_path)
     if not os.path.isdir(d):
-        return []
+        return 0
+    ids = [
+        int(name[5:13])
+        for name in os.listdir(d)
+        if name.startswith("snap-") and name.endswith(".json")
+    ]
+    return max(ids, default=0)
+
+
+def partitions_as_of(table_path: str, snapshot_id: int) -> dict[str, str]:
+    """Cumulative {partition_id: owning run_id} AS OF a snapshot, folding
+    deltas forward from the nearest checkpoint at or below it — reads at
+    most CHECKPOINT_EVERY + 1 files regardless of log length. Raises
+    ValueError if the snapshot does not exist."""
+    d = _snapshot_dir(table_path)
+    if snapshot_id < 1 or not os.path.isdir(d):
+        raise ValueError(f"no snapshot {snapshot_id} under {table_path}")
+    start = max((snapshot_id // CHECKPOINT_EVERY) * CHECKPOINT_EVERY, 1)
+    try:
+        base = _read_snap(d, start)
+    except FileNotFoundError:
+        raise ValueError(f"no snapshot {snapshot_id} under {table_path}")
+    # checkpoint files (and legacy cumulative-format files) carry the full
+    # map; snapshot 1's delta IS the full map
+    parts = dict(base.get("partitions") or base["delta"])
+    for sid in range(start + 1, snapshot_id + 1):
+        try:
+            rec = _read_snap(d, sid)
+        except FileNotFoundError:
+            raise ValueError(f"no snapshot {snapshot_id} under {table_path}")
+        if "delta" in rec:
+            parts.update(rec["delta"])
+        else:  # legacy cumulative-only record
+            parts = dict(rec["partitions"])
+    return parts
+
+
+def snapshots(table_path: str) -> list[dict]:
+    """Full history, oldest first, each record carrying its cumulative
+    `partitions` map (reconstructed in ONE pass over the log): {snapshot_id,
+    parent_id, run_id, committed_ms, delta, partitions}. O(n) by nature —
+    for the common 'what is committed now' question use
+    `latest_snapshot_id` + `partitions_as_of` instead."""
+    d = _snapshot_dir(table_path)
+    tip = latest_snapshot_id(table_path)
     snaps = []
-    for name in os.listdir(d):
-        if name.startswith("snap-") and name.endswith(".json"):
-            with open(os.path.join(d, name)) as f:
-                snaps.append(json.load(f))
-    return sorted(snaps, key=lambda s: s["snapshot_id"])
+    parts: dict[str, str] = {}
+    for sid in range(1, tip + 1):
+        rec = _read_snap(d, sid)
+        if "delta" in rec:
+            parts.update(rec["delta"])
+        else:  # legacy cumulative-only record
+            parts = dict(rec["partitions"])
+        rec["partitions"] = dict(parts)
+        snaps.append(rec)
+    return snaps
 
 
 def snapshot_commit(
     table_path: str, run_id: str, partition_ids: list[int]
 ) -> dict:
-    """Append one snapshot: the previous partition→run mapping plus this
-    run's partitions (replacing any it rewrote — dynamic-overwrite
-    semantics). Returns the new snapshot record.
+    """Append one snapshot claiming `partition_ids` for `run_id` (replacing
+    any prior owner — dynamic-overwrite semantics). Returns the new record.
+
+    Cost: one directory listing per attempt; zero snapshot-file reads except
+    on checkpoint commits (every CHECKPOINT_EVERY-th id embeds the folded
+    cumulative map → ≤ CHECKPOINT_EVERY + 1 reads, amortized O(1)/commit).
 
     Concurrency: optimistic, Iceberg-style. The snapshot file is published
     with `os.link` (atomic create-exclusive on POSIX): if a concurrent
     writer already claimed the same snapshot_id, the link fails and we
-    re-read the log and retry on top of the new parent — neither commit
-    is lost (r3 review #4: a plain tmp+os.replace silently clobbered the
-    loser). Readers never observe a half-written file."""
+    retry on top of the new tip — neither commit is lost (r3 review #4: a
+    plain tmp+os.replace silently clobbered the loser). Readers never
+    observe a half-written file."""
     d = _snapshot_dir(table_path)
     os.makedirs(d, exist_ok=True)
     for _ in range(50):
-        prev = snapshots(table_path)
-        parent = prev[-1] if prev else None
-        parts = dict(parent["partitions"]) if parent else {}
-        for pid in partition_ids:
-            parts[str(int(pid))] = run_id
+        parent_id = latest_snapshot_id(table_path)
+        sid = parent_id + 1
+        delta = {str(int(pid)): run_id for pid in partition_ids}
         snap = {
-            "snapshot_id": (parent["snapshot_id"] + 1) if parent else 1,
-            "parent_id": parent["snapshot_id"] if parent else None,
+            "snapshot_id": sid,
+            "parent_id": parent_id or None,
             "run_id": run_id,
             "committed_ms": int(time.time() * 1000),
-            "partitions": parts,
+            "delta": delta,
         }
-        final = os.path.join(d, f"snap-{snap['snapshot_id']:08d}.json")
+        if sid % CHECKPOINT_EVERY == 0:
+            parts = partitions_as_of(table_path, parent_id)
+            parts.update(delta)
+            snap["partitions"] = parts
+        final = os.path.join(d, f"snap-{sid:08d}.json")
         # uuid: pid alone is not unique across THREADS of one driver —
         # a shared tmp name lets a concurrent commit truncate the inode
         # between write and link (r3 review round 2)
@@ -154,7 +221,7 @@ def snapshot_commit(
             os.link(tmp, final)  # atomic create-exclusive publish
             return snap
         except FileExistsError:
-            continue  # lost the race: re-read the log, retry on new parent
+            continue  # lost the race: re-list the log, retry on new parent
         finally:
             os.unlink(tmp)
     raise RuntimeError(
@@ -174,11 +241,10 @@ def read_extracted_as_of(
     Honesty bound of the emulation: Parquet dynamic overwrite REPLACES a
     rewritten partition's files (Iceberg would retain the old ones), so
     time travel is sound only under the pipeline's write-once-per-
-    partition commit discipline (resume skips committed partitions; a
-    partition is owned by exactly one run). A real catalog lifts this.
+    partition commit discipline (resume skips committed partitions — as
+    recorded by lineage OR the snapshot log, so a crash between
+    snapshot_commit and append_lineage never leads to a rewrite; see
+    pipeline.run_extraction's reconcile step). A real catalog lifts this.
     """
-    matching = [s for s in snapshots(path) if s["snapshot_id"] == snapshot_id]
-    if not matching:
-        raise ValueError(f"no snapshot {snapshot_id} under {path}")
-    pids = [int(p) for p in matching[0]["partitions"]]
+    pids = [int(p) for p in partitions_as_of(path, snapshot_id)]
     return spark.read.parquet(path).filter(F.col("partition_id").isin(pids))

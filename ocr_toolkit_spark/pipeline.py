@@ -80,6 +80,36 @@ def committed_partitions(spark: SparkSession, lineage_path: str) -> DataFrame | 
     )
 
 
+def reconcile_committed(
+    spark: SparkSession, lineage_path: str, output_path: str
+) -> tuple[set[int], dict[int, str]]:
+    """The committed-partition set a resume must skip, reconciling lineage
+    against the snapshot log (r3 ADVICE, medium): commit order is
+    data → snapshot → lineage, so a crash in the gap leaves partitions
+    owned by a snapshot with no lineage row. Treating only lineage as
+    committed would re-process them, and dynamic overwrite would REPLACE
+    their files — silently changing what the pre-crash snapshot's
+    time-travel read returns. A partition owned by EITHER record is
+    committed (its data write necessarily completed).
+
+    Returns (committed_pids, orphans) where orphans maps snapshot-owned
+    partitions missing from lineage to their owning run_id, so the caller
+    can heal the lineage manifest. Both sets are ≤ n_buckets entries —
+    driver-side by design."""
+    lineage_pids: set[int] = set()
+    done = committed_partitions(spark, lineage_path)
+    if done is not None:
+        lineage_pids = {int(r["partition_id"]) for r in done.collect()}
+    tip = tio.latest_snapshot_id(output_path)
+    snap_owner = (
+        {int(p): r for p, r in tio.partitions_as_of(output_path, tip).items()}
+        if tip
+        else {}
+    )
+    orphans = {p: r for p, r in snap_owner.items() if p not in lineage_pids}
+    return lineage_pids | set(snap_owner), orphans
+
+
 def salt_oversized(
     df: DataFrame,
     threshold: int = DEFAULT_SALT_THRESHOLD,
@@ -112,10 +142,33 @@ def run_extraction(
 ) -> RunStats:
     docs = with_partition_id(tio.read_documents(spark, input_path), n_buckets)
 
-    done = committed_partitions(spark, lineage_path)
-    skipped = 0
-    if done is not None:
-        skipped = done.count()
+    # committed = lineage ∪ snapshot-owned (reconcile_committed docstring:
+    # a crash between snapshot_commit and append_lineage must not lead to
+    # a partition rewrite). Orphans (snapshot-owned, lineage-missing) get
+    # their lineage rows healed below so the manifest converges.
+    done_pids, orphans = reconcile_committed(spark, lineage_path, output_path)
+    if orphans:
+        cnts = {
+            int(r["partition_id"]): int(r["n"])
+            for r in docs.select("partition_id")
+            .where(F.col("partition_id").isin(list(orphans)))
+            .groupBy("partition_id")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        heal = spark.createDataFrame(
+            [
+                (owner, pid, cnts.get(pid, 0), None, None, None)
+                for pid, owner in sorted(orphans.items())
+            ],
+            schema=LINEAGE_ROW_SCHEMA,
+        ).withColumn("committed_at", F.current_timestamp())
+        tio.append_lineage(heal, lineage_path)
+    skipped = len(done_pids)
+    if done_pids:
+        done = spark.createDataFrame(
+            [(p,) for p in sorted(done_pids)], "partition_id int"
+        )
         # broadcast anti-join: the committed set is tiny (≤ n_buckets rows)
         docs = docs.join(F.broadcast(done), "partition_id", "left_anti")
 
@@ -186,10 +239,13 @@ def run_extraction(
     # Commit ORDER: data write → snapshot → lineage. A crash between
     # snapshot and lineage leaves a snapshot whose partitions all have
     # written data (the write already happened) but no lineage row — the
-    # next run re-processes them idempotently and the merge re-records the
-    # new owner. The reverse order would leave lineage rows whose
-    # partitions never reach any snapshot: resume would skip them forever
-    # while snapshot reads silently miss committed data (r3 review #1).
+    # next run's reconcile_committed treats snapshot-owned partitions as
+    # committed (NOT re-processed: a rewrite would replace the files the
+    # pre-crash snapshot's time-travel read pins — r3 ADVICE, medium) and
+    # heals the missing lineage rows. The reverse order would leave
+    # lineage rows whose partitions never reach any snapshot: resume
+    # would skip them forever while snapshot reads silently miss
+    # committed data (r3 review #1).
     if n_new:
         tio.snapshot_commit(output_path, run_id, [pid for pid, _ in parts])
     tio.append_lineage(lineage, lineage_path)

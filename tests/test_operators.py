@@ -544,18 +544,35 @@ class TestR3ReviewFixes:
 
         table = _os.path.join(tmpdir_path, "snap_table")
         tio.snapshot_commit(table, "run-1", [0, 1])
-        # simulate a concurrent writer that already claimed id 2
+        # simulate a concurrent writer that claims id 2 AFTER our commit
+        # reads the tip (stale first listing) — the os.link publish must
+        # collide and the retry must land on id 3
         d = _os.path.join(table, "_snapshots")
         with open(_os.path.join(d, "snap-00000002.json"), "w") as f:
             _json.dump({"snapshot_id": 2, "parent_id": 1,
                         "run_id": "race-winner", "committed_ms": 0,
-                        "partitions": {"0": "run-1", "1": "run-1",
-                                       "7": "race-winner"}}, f)
-        snap = tio.snapshot_commit(table, "run-2", [3])
+                        "delta": {"7": "race-winner"}}, f)
+        real = tio.latest_snapshot_id
+        stale_once = []
+
+        def stale(path):
+            v = real(path)
+            if not stale_once:
+                stale_once.append(1)
+                return v - 1  # pretend we listed before the race-winner
+            return v
+
+        tio.latest_snapshot_id = stale
+        try:
+            snap = tio.snapshot_commit(table, "run-2", [3])
+        finally:
+            tio.latest_snapshot_id = real
+        assert len(stale_once) == 1  # the stale path was actually taken
         assert snap["snapshot_id"] == 3 and snap["parent_id"] == 2
-        # nothing lost: run-2's snapshot merges the race-winner's partition
-        assert snap["partitions"]["7"] == "race-winner"
-        assert snap["partitions"]["3"] == "run-2"
+        # nothing lost: the folded state merges the race-winner's partition
+        parts = tio.partitions_as_of(table, 3)
+        assert parts["7"] == "race-winner"
+        assert parts["3"] == "run-2"
         assert [s["run_id"] for s in tio.snapshots(table)] == [
             "run-1", "race-winner", "run-2"]
 

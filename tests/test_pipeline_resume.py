@@ -197,6 +197,140 @@ def test_snapshot_commit_and_time_travel(spark, tmpdir_path):
         tio.read_extracted_as_of(spark, out, 99)
 
 
+def test_crash_between_snapshot_and_lineage_commit(spark, tmpdir_path):
+    """r3 ADVICE (medium): a crash AFTER snapshot_commit but BEFORE
+    append_lineage must NOT cause a re-process — a rewrite would replace
+    the parquet files the pre-crash snapshot's time-travel read pins.
+    The resume must treat snapshot-owned partitions as committed, heal
+    their lineage rows (owner = crashed run), and leave the snapshot-1
+    view byte-identical."""
+    corpus = os.path.join(tmpdir_path, "docs.parquet")
+    out = os.path.join(tmpdir_path, "out")
+    lineage = os.path.join(tmpdir_path, "lineage")
+    write_corpus(corpus, n_docs=200, seed=42)
+
+    # crashed run: data written AND snapshot committed for partitions
+    # 0..15, but NO lineage append (the exact crash window)
+    docs = with_partition_id(tio.read_documents(spark, corpus), 64)
+    from ocr_toolkit_spark.operators.extract import extract_spans
+
+    partial = docs.filter(F.col("partition_id") < 16)
+    partial_out = with_partition_id(
+        extract_spans(partial.select("doc_id", "spans")), 64)
+    tio.write_extracted(partial_out, out)
+    crashed_pids = sorted(
+        int(r["partition_id"])
+        for r in partial_out.select("partition_id").distinct().collect())
+    tio.snapshot_commit(out, "crashed-run", crashed_pids)
+    before = {
+        r["doc_id"]: r["n_spans"]
+        for r in tio.read_extracted_as_of(spark, out, 1)
+        .select("doc_id", "n_spans").collect()
+    }
+
+    # recovery: snapshot-owned partitions are skipped, not rewritten
+    stats = run_extraction(spark, corpus, out, lineage, run_id="recovery")
+    assert stats.partitions_skipped == len(crashed_pids)
+    processed = {
+        int(r["partition_id"])
+        for r in tio.read_lineage(spark, lineage)
+        .filter("run_id = 'recovery' and partition_id >= 0")
+        .select("partition_id").collect()
+    }
+    assert not processed & set(crashed_pids)
+
+    # lineage healed: crashed partitions now carry rows owned by the
+    # crashed run, with exact doc counts
+    healed = tio.read_lineage(spark, lineage).filter(
+        "run_id = 'crashed-run'").collect()
+    assert sorted(int(r["partition_id"]) for r in healed) == crashed_pids
+    truth = {
+        int(r["partition_id"]): int(r["n"])
+        for r in partial.groupBy("partition_id")
+        .agg(F.count("*").alias("n")).collect()
+    }
+    assert {int(r["partition_id"]): int(r["doc_count"]) for r in healed} == truth
+
+    # snapshot-1 time travel still returns the pre-crash data, and the
+    # full table has complete coverage with no duplicates
+    after = {
+        r["doc_id"]: r["n_spans"]
+        for r in tio.read_extracted_as_of(spark, out, 1)
+        .select("doc_id", "n_spans").collect()
+    }
+    assert after == before
+    n_docs_in = tio.read_documents(spark, corpus).count()
+    result = tio.read_extracted(spark, out)
+    assert result.count() == n_docs_in
+    assert result.select("doc_id").distinct().count() == n_docs_in
+
+    # a second resume is a no-op (lineage and snapshot log now agree)
+    stats2 = run_extraction(spark, corpus, out, lineage, run_id="noop")
+    assert stats2.partitions_processed == 0
+
+
+def test_snapshot_log_checkpoint_fold_and_commit_cost(tmpdir_path):
+    """Delta-log scaling (r3 verdict #4): state reconstruction folds from
+    the nearest checkpoint (≤ CHECKPOINT_EVERY + 1 file reads however long
+    the log), non-checkpoint commits read ZERO snapshot files, and every
+    as-of view equals the prefix fold across checkpoint boundaries."""
+    from ocr_toolkit_spark import io as tio
+
+    table = os.path.join(tmpdir_path, "ckptlog")
+    ck = tio.CHECKPOINT_EVERY
+    n = 2 * ck + 6
+    prefixes, expected = [], {}
+    for i in range(1, n + 1):
+        pids = [i % 16, (i * 7) % 16]
+        tio.snapshot_commit(table, f"run-{i}", pids)
+        for p in pids:
+            expected[str(p)] = f"run-{i}"
+        prefixes.append(dict(expected))
+    assert tio.latest_snapshot_id(table) == n
+
+    # as-of equals prefix fold at and around every checkpoint boundary
+    for sid in {1, ck - 1, ck, ck + 1, 2 * ck, 2 * ck + 1, n}:
+        assert tio.partitions_as_of(table, sid) == prefixes[sid - 1], sid
+
+    # instrument file reads: non-checkpoint commit reads 0 snapshot files,
+    # checkpoint commit ≤ CHECKPOINT_EVERY + 1, as-of read ≤ CHECKPOINT_EVERY + 1
+    reads = []
+    real = tio._read_snap
+
+    def counting(d, sid):
+        reads.append(sid)
+        return real(d, sid)
+
+    tio._read_snap = counting
+    try:
+        tio.snapshot_commit(table, "cheap", [0])  # id n+1: not a checkpoint
+        assert reads == []
+        while tio.latest_snapshot_id(table) % ck != ck - 1:
+            tio.snapshot_commit(table, "filler", [1])
+        reads.clear()
+        tio.snapshot_commit(table, "ckpt", [2])  # lands ON a checkpoint id
+        assert 0 < len(reads) <= ck + 1
+        reads.clear()
+        tip = tio.latest_snapshot_id(table)
+        tio.partitions_as_of(table, tip)
+        assert len(reads) <= ck + 1
+    finally:
+        tio._read_snap = real
+
+    # legacy cumulative-format records (pre-r4) still fold correctly
+    legacy = os.path.join(tmpdir_path, "legacylog")
+    d = os.path.join(legacy, "_snapshots")
+    os.makedirs(d)
+    import json as _json
+
+    with open(os.path.join(d, "snap-00000001.json"), "w") as f:
+        _json.dump({"snapshot_id": 1, "parent_id": None, "run_id": "old",
+                    "committed_ms": 0, "partitions": {"3": "old"}}, f)
+    tio.snapshot_commit(legacy, "new", [4])
+    assert tio.partitions_as_of(legacy, 2) == {"3": "old", "4": "new"}
+    assert tio.snapshots(legacy)[-1]["partitions"] == {"3": "old", "4": "new"}
+
+
 def test_snapshot_log_random_run_sequences(tmpdir_path):
     """Property: for ANY sequence of commits (random partition subsets,
     overlapping owners), the latest snapshot's mapping equals the
