@@ -647,25 +647,61 @@ def q_extract_pipeline(spark, sf_dir):
 
 
 def q_minhash_dedup(spark, sf_dir):
+    """Self-validating (r3 verdict #1): every emitted pair's Jaccard is
+    recomputed from TEXT by the verify stage, so the output carries the
+    bound itself (min_jaccard ≥ threshold ⇒ meets_threshold true), plus
+    the capped-bucket totals so starred coverage is driver-visible, never
+    silent (skew.oversized_bucket_stats)."""
     from ocr_toolkit_spark.operators.dedup import (
         jaccard_verify,
-        minhash_lsh_candidates,
+        minhash_banded_frame,
+    )
+    from ocr_toolkit_spark.operators.skew import (
+        oversized_bucket_stats,
+        star_capped_pairs,
     )
 
     d = _docs(spark, sf_dir)
-    cand = minhash_lsh_candidates(d, "doc_id", "text", k=5, n_hashes=32, bands=8)
+    banded = minhash_banded_frame(d, "doc_id", "text", k=5, n_hashes=32, bands=8)
+    cand = star_capped_pairs(
+        banded, ["band", "band_hash"], "id", materialize_input=False
+    ).distinct()
     verified = jaccard_verify(cand, d, "doc_id", "text", k=5, threshold=0.5)
+    caps = oversized_bucket_stats(banded, ["band", "band_hash"]).agg(
+        F.count("*").alias("buckets_capped"),
+        F.coalesce(F.sum("pairs_avoided"), F.lit(0)).alias("pairs_avoided"),
+    )
     return verified.agg(
         F.count("*").alias("near_dup_pairs"),
         F.round(F.coalesce(F.avg("jaccard"), F.lit(0.0)), 4).alias("avg_jaccard"),
-    )
+        F.round(F.coalesce(F.min("jaccard"), F.lit(1.0)), 4).alias("min_jaccard"),
+        F.lit(0.5).alias("jaccard_threshold"),
+        (F.coalesce(F.min("jaccard"), F.lit(1.0)) >= 0.5).alias("meets_threshold"),
+    ).crossJoin(caps)
 
 
 def q_simhash_dedup(spark, sf_dir):
-    from ocr_toolkit_spark.operators.dedup import simhash_near_dups
+    """Self-validating (r3 verdict #1): hamming is recomputed exactly via
+    bit_count(xor) on full signatures, so the output carries the bound
+    (max hamming observed ≤ the cutoff), plus capped-bucket totals."""
+    from ocr_toolkit_spark.operators.dedup import (
+        simhash_pairs_from_pieces,
+        simhash_pieces_frame,
+    )
+    from ocr_toolkit_spark.operators.skew import oversized_bucket_stats
 
-    pairs = simhash_near_dups(_docs(spark, sf_dir), max_hamming=3, chunks=4)
-    return pairs.agg(F.count("*").alias("simhash_pairs"))
+    pieces = simhash_pieces_frame(_docs(spark, sf_dir), chunks=4)
+    pairs = simhash_pairs_from_pieces(pieces, max_hamming=3)
+    caps = oversized_bucket_stats(pieces, ["chunk", "val"]).agg(
+        F.count("*").alias("buckets_capped"),
+        F.coalesce(F.sum("pairs_avoided"), F.lit(0)).alias("pairs_avoided"),
+    )
+    return pairs.agg(
+        F.count("*").alias("simhash_pairs"),
+        F.coalesce(F.max("hamming"), F.lit(0)).alias("max_hamming_observed"),
+        F.lit(3).alias("hamming_cutoff"),
+        (F.coalesce(F.max("hamming"), F.lit(0)) <= 3).alias("within_cutoff"),
+    ).crossJoin(caps)
 
 
 def _ann_recall_report(ann, bf, k, floor):

@@ -181,6 +181,39 @@ def minhash_signatures(
     )
 
 
+def minhash_banded_frame(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    n_hashes: int = 64,
+    bands: int = 16,
+    materialize_frame: bool = True,
+) -> DataFrame:
+    """(id, band, band_hash) — the LSH bucket frame, one row per (doc,
+    band). Materialized by default: this frame's lineage holds the whole
+    signature pipeline and downstream consumers (candidate self-join AND
+    the oversized_bucket_stats report) reference it multiple times, so
+    computing it once is the difference between one signature pass and
+    six (r2 verdict; see skew.materialize)."""
+    rows_per_band = n_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, k, n_hashes)
+    banded = sig.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.concat_ws(
+                        ",", F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+                    )
+                ),
+            )
+        ).alias("band", "band_hash"),
+    )
+    return materialize(banded) if materialize_frame else banded
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -200,25 +233,14 @@ def minhash_lsh_candidates(
     checkpoint jobs at call time) — useful for plan inspection or
     conditional branches; the default trades construction-time jobs for
     signature-computed-once execution (r3 review #8)."""
-    rows_per_band = n_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, k, n_hashes)
-    banded = sig.select(
-        "id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    F.concat_ws(
-                        ",", F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
-                    )
-                ),
-            )
-        ).alias("band", "band_hash"),
+    banded = minhash_banded_frame(
+        df, id_col, text_col, k, n_hashes, bands,
+        materialize_frame=materialize_frames,
     )
     return (
         star_capped_pairs(banded, ["band", "band_hash"], "id",
                           max_bucket=max_bucket,
-                          materialize_input=materialize_frames)
+                          materialize_input=False)
         .distinct()
     )
 
@@ -314,24 +336,17 @@ def simhash64(texts: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
-def simhash_near_dups(
+def simhash_pieces_frame(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_hamming: int = 3,
     chunks: int = 4,
-    max_bucket: int = DEFAULT_MAX_BUCKET,
-    materialize_frames: bool = True,
+    materialize_frame: bool = True,
 ) -> DataFrame:
-    """Near-dup pairs with Hamming(sig) ≤ max_hamming.
-
-    Scale path: pigeonhole — split the 64-bit signature into `chunks` pieces;
-    any pair within distance < chunks must share at least one exact piece, so
-    candidates come from equi-joins on (chunk_idx, chunk_value), then exact
-    Hamming verification via bit_count(xor). Requires max_hamming < chunks.
-    Chunk buckets above `max_bucket` members are star-linked to their
-    representative instead of all-paired (operators/skew.py).
-    """
+    """(id, sig, chunk, val) — the pigeonhole bucket frame, one row per
+    (doc, signature chunk). Materialized by default: its lineage holds the
+    vectorized SimHash UDF, and both the candidate self-join and the
+    oversized_bucket_stats report re-reference it."""
     sig = df.select(
         F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sig")
     )
@@ -351,9 +366,19 @@ def simhash_near_dups(
             )
         ).alias("chunk", "val"),
     )
+    return materialize(pieces) if materialize_frame else pieces
+
+
+def simhash_pairs_from_pieces(
+    pieces: DataFrame,
+    max_hamming: int = 3,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Hamming-verified near-dup pairs from a prebuilt pieces frame
+    (simhash_pieces_frame) — exact bit_count(xor) on candidates only."""
     cand = star_capped_pairs(
         pieces, ["chunk", "val"], "id", payload_cols=("sig",),
-        max_bucket=max_bucket, materialize_input=materialize_frames,
+        max_bucket=max_bucket, materialize_input=False,
     ).distinct()
     return (
         cand.withColumn(
@@ -362,3 +387,27 @@ def simhash_near_dups(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    chunks: int = 4,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
+    materialize_frames: bool = True,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(sig) ≤ max_hamming.
+
+    Scale path: pigeonhole — split the 64-bit signature into `chunks` pieces;
+    any pair within distance < chunks must share at least one exact piece, so
+    candidates come from equi-joins on (chunk_idx, chunk_value), then exact
+    Hamming verification via bit_count(xor). Requires max_hamming < chunks.
+    Chunk buckets above `max_bucket` members are star-linked to their
+    representative instead of all-paired (operators/skew.py).
+    """
+    pieces = simhash_pieces_frame(
+        df, id_col, text_col, chunks, materialize_frame=materialize_frames
+    )
+    return simhash_pairs_from_pieces(pieces, max_hamming, max_bucket)
