@@ -61,9 +61,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--buckets", type=int, default=64)
     p.add_argument("--salt-threshold", type=int, default=500)
     p.add_argument("--doc-budget-ms", type=float, default=None,
-                   help="per-document time budget for Python kernels; an "
-                        "over-budget doc becomes an error row (reference "
-                        "per-file timeout analog)")
+                   help="per-document time budget for the per-doc Python "
+                        "kernels (html/sheet/bytes). Best-effort check-"
+                        "after, not preemption: a slow doc is flagged as an "
+                        "error row AFTER its own parse finishes, so the "
+                        "batch is protected but the doc still costs its "
+                        "parse time once (unlike the reference's enforced "
+                        "per-file timeouts)")
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
 

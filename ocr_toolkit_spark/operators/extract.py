@@ -125,11 +125,27 @@ def _transform_text(arr: pa.Array, with_images: bool) -> pa.Array:
     return pc.utf8_trim_whitespace(arr)
 
 
-def _decode_hex_bytes(values: list[str]) -> tuple[list[str], np.ndarray]:
-    """UTF-8 strict → GBK strict fallback (text_file_processor.py:70-78)."""
+def _decode_hex_bytes(
+    values: list[str],
+    doc_of: np.ndarray | None = None,
+    budget_s: float | None = None,
+) -> tuple[list[str], np.ndarray, set[int]]:
+    """UTF-8 strict → GBK strict fallback (text_file_processor.py:70-78).
+
+    `doc_of[i]` = owning doc of values[i] (doc-contiguous, span order) and
+    `budget_s` enable the per-doc time budget on this per-span Python
+    decode loop (check-after, like the HTML kernel): docs whose decode
+    exceeded the budget are returned in the third slot."""
     decoded: list[str] = []
     failed = np.zeros(len(values), dtype=bool)
+    over_budget: set[int] = set()
+    timed = budget_s is not None and doc_of is not None
+    cur_doc, t_doc = -1, 0.0
     for i, v in enumerate(values):
+        if timed:
+            d = int(doc_of[i])
+            if d != cur_doc:
+                cur_doc, t_doc = d, time.perf_counter()
         try:
             raw = bytes.fromhex((v or "").strip())
             try:
@@ -139,7 +155,9 @@ def _decode_hex_bytes(values: list[str]) -> tuple[list[str], np.ndarray]:
         except (ValueError, UnicodeDecodeError):
             decoded.append("")
             failed[i] = True
-    return decoded, failed
+        if timed and time.perf_counter() - t_doc > budget_s:
+            over_budget.add(cur_doc)
+    return decoded, failed, over_budget
 
 
 def _first_index_per_group(group_ids: np.ndarray, candidates: np.ndarray) -> dict[int, int]:
@@ -159,6 +177,23 @@ def _process_batch(
     doc_budget_ms: float | None = None,
 ) -> pa.RecordBatch:
     t0 = time.perf_counter()
+    # Per-document time budget (E-series poison-pill containment; the
+    # reference applies its per-file timeout to EVERY format —
+    # cli/benchmark.py:45 300 s, strategies/libreoffice.py:31 180 s).
+    # Applied to all three per-doc Python kernels: HTML parse (the only
+    # super-linear one), sheet segmentation/stringify, and hex/GBK bytes
+    # decode. Best-effort check-AFTER (no in-process preemption): an
+    # over-budget doc becomes an error row, its spans are dropped in
+    # finalize, and the rest of the batch completes — one pathological doc
+    # cannot poison its task's output, though it still costs its own parse
+    # time once. `is not None`: a budget of 0 means STRICTEST containment
+    # (every per-doc pass over 0 ms is flagged), not "disabled" (r3 review).
+    budget_s = doc_budget_ms / 1000.0 if doc_budget_ms is not None else None
+    _timeout_err = (
+        f"timeout: document exceeded {doc_budget_ms:g} ms budget"
+        if doc_budget_ms is not None
+        else ""
+    )
     _marks: list[tuple[str, float]] = []
 
     def mk(name: str) -> None:
@@ -315,8 +350,12 @@ def _process_batch(
     bytes_pos = np.nonzero((span_fmt == "bytes_text") & is_by)[0]
     if len(bytes_pos):
         vals = pc.take(text_a, pa.array(bytes_pos)).to_pylist()
-        decoded, dfailed = _decode_hex_bytes(vals)
+        decoded, dfailed, dover = _decode_hex_bytes(
+            vals, di[bytes_pos], budget_s
+        )
         errors[np.unique(di[bytes_pos[dfailed]])] = "decode error: not utf-8 or gbk"
+        for d in dover:  # budget verdict wins over decode errors
+            errors[d] = _timeout_err
         decoded_trim = pc.utf8_trim_whitespace(
             _transform_text(pa.array(decoded, pa.string()), with_images)
         )
@@ -472,12 +511,24 @@ def _process_batch(
                         lines.append("| " + " | ".join(["---"] * max_cols) + " |")
                 e_kind.append(K_TABLE); e_gen.append(em.gen("\n".join(lines)))
 
+        # per-doc budget over the segmentation + stringify loop (the
+        # unbounded per-doc Python here: a hostile 100M-cell sheet's
+        # markdown assembly is linear but arbitrarily long). The batch-
+        # vectorized format_cells pass above is outside the per-doc
+        # window; check-after per doc, finalize drops flagged emissions.
+        def close_doc(d: int, t_start: float) -> None:
+            flush_doc(d)
+            if budget_s is not None and time.perf_counter() - t_start > budget_s:
+                errors[d] = _timeout_err
+
+        t_doc = 0.0
         for j in range(len(sheet_rows)):
             d = int(s_di[j])
             if d != cur_doc:
                 if cur_doc >= 0:
-                    flush_doc(cur_doc)
+                    close_doc(cur_doc, t_doc)
                 cur_doc, sheets = d, []
+                t_doc = time.perf_counter()
             if s_kind[j] == "heading":
                 sheets.append((float(s_seq[j]), s_text[j].strip() or "Sheet", []))
             else:
@@ -486,7 +537,7 @@ def _process_batch(
                 sheets[-1][2].append(fmt_lists[row_i])
                 row_i += 1
         if cur_doc >= 0:
-            flush_doc(cur_doc)
+            close_doc(cur_doc, t_doc)
         em.add(np.asarray(e_di, np.int64), np.asarray(e_sort, np.float64),
                np.asarray(e_kind, np.int8), gen_idx=np.asarray(e_gen, np.int64))
 
@@ -497,19 +548,9 @@ def _process_batch(
         h_di = di[html_rows]
         h_text = pc.take(text_a, pa.array(html_rows)).to_pylist()
         e_di, e_sort, e_kind, e_gen, e_mgen = [], [], [], [], []
-        # Per-document time budget (E-series poison-pill containment; the
-        # reference's per-file timeout analog — cli/benchmark.py:45 300 s,
-        # strategies/libreoffice.py:31 180 s). The HTML parse is the only
-        # per-doc Python kernel with super-linear worst cases; every other
-        # pass is a linear Arrow/NumPy kernel. Best-effort check-after (no
-        # in-process preemption, like the reference's thread-less paths):
-        # an over-budget doc becomes an error row, its spans are dropped,
-        # and the REST of the batch still completes — one pathological doc
-        # can no longer poison its task's output, though it still costs
-        # its own parse time once.
-        # `is not None`: a budget of 0 means STRICTEST containment (every
-        # per-doc parse over 0 ms is flagged), not "disabled" (r3 review)
-        budget_s = doc_budget_ms / 1000.0 if doc_budget_ms is not None else None
+        # per-doc budget (see top of _process_batch): the HTML parse is the
+        # per-doc Python kernel with super-linear worst cases — check-after,
+        # an over-budget doc drops its spans and the batch completes
         i = 0
         while i < len(html_rows):
             j = i
@@ -520,9 +561,7 @@ def _process_batch(
             t_doc = time.perf_counter()
             blocks = extract_blocks(html)
             if budget_s is not None and time.perf_counter() - t_doc > budget_s:
-                errors[d] = (
-                    f"timeout: document exceeded {doc_budget_ms:g} ms budget"
-                )
+                errors[d] = _timeout_err
                 i = j
                 continue
             ctr = 0
@@ -693,10 +732,12 @@ def extract_spans(
     kernel timings (A4, reference utils/profiling.py) — opt-in so the
     production schema is unchanged.
 
-    `doc_budget_ms`: per-document time budget for the per-doc Python
-    kernels (HTML parse) — an over-budget document becomes an error row
-    (`error` starts with 'timeout:') instead of stalling its task; the
-    reference's per-file timeout analog (cli/benchmark.py:45). None
+    `doc_budget_ms`: per-document time budget for ALL per-doc Python
+    kernels (HTML parse, sheet segmentation/stringify, hex/GBK bytes
+    decode) — an over-budget document becomes an error row (`error`
+    starts with 'timeout:') instead of stalling its task; the reference
+    applies its per-file timeout to every format (cli/benchmark.py:45).
+    Best-effort check-after, not preemption (see _process_batch). None
     disables the check (default: containment without a budget)."""
     if isinstance(pages, str):
         from ..functions.pages import parse_pages

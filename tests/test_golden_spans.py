@@ -86,11 +86,12 @@ def test_failure_containment(spark):
 
 
 def test_doc_budget_contains_pathological_doc_without_poisoning_batch():
-    """E-series per-doc TIME containment (reference per-file timeout analog,
-    cli/benchmark.py:45): with a ~zero budget every html doc (the per-doc
-    Python parse path) becomes an error row tagged 'timeout:', while every
-    other document in the batch still extracts byte-identically; a generous
-    budget changes nothing."""
+    """E-series per-doc TIME containment (the reference applies its
+    per-file timeout to EVERY format, cli/benchmark.py:45): with a ~zero
+    budget every doc on a per-doc Python kernel path — html parse, sheet
+    segmentation/stringify, hex/GBK bytes decode — becomes an error row
+    tagged 'timeout:', while every other document in the batch still
+    extracts byte-identically; a generous budget changes nothing."""
     docs = generate_documents(60, 42)
     batch = to_arrow(docs).combine_chunks().to_batches()[0]
 
@@ -108,10 +109,21 @@ def test_doc_budget_contains_pathological_doc_without_poisoning_batch():
     tight = _process_batch(batch, True, doc_budget_ms=1e-9).to_pylist()
     assert len(tight) == len(docs)
     timed_out = [r for r in tight if r["error"].startswith("timeout:")]
-    assert timed_out, "fixture corpus must contain html docs"
+    assert timed_out, "fixture corpus must contain budget-guarded docs"
+    budget_methods = {r["method"] for r in timed_out}
     for r in timed_out:
-        assert r["method"] == "html"
+        assert r["method"] in {"html", "sheet", "bytes_text"}
         assert not r["success"] and r["out_spans"] == []
+    # every per-doc Python kernel is covered by the guard (r3 verdict #2)
+    assert budget_methods == {"html", "sheet", "bytes_text"}, budget_methods
+    # ALL docs of guarded formats got flagged at ~zero budget — and docs
+    # of pure-vectorized formats (text/markdown/paged) NEVER are
+    base_methods = {did: b[3] for did, b in base.items()}
+    for did, (_, _, err, _) in spans_of(tight).items():
+        if base_methods[did] in {"html", "sheet"}:
+            assert err.startswith("timeout:"), did
+        if base_methods[did] in {"text", "markdown", "paged"}:
+            assert not err.startswith("timeout:"), did
     got = spans_of(tight)
     for did, b in base.items():
         if not got[did][2].startswith("timeout:"):
