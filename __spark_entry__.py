@@ -738,7 +738,7 @@ def q_lsh_topk(spark, sf_dir):
     q = e.filter(F.col("vec_id") < 5)
     ann = lsh_topk(e, q, dim=dim, k=10, n_bits=4, n_probe=3, n_tables=4)
     bf = brute_force_topk(e, q, k=10)
-    return _ann_recall_report(ann, bf, k=10, floor=0.6)
+    return _ann_recall_report(ann, bf, k=10, floor=0.65)
 
 
 def q_ivf_topk(spark, sf_dir):
@@ -749,7 +749,7 @@ def q_ivf_topk(spark, sf_dir):
     q = e.filter(F.col("vec_id") < 5)
     ann = ivf_topk(e, q, dim=dim, k=10, n_centroids=16, n_probe=8)
     bf = brute_force_topk(e, q, k=10)
-    return _ann_recall_report(ann, bf, k=10, floor=0.6)
+    return _ann_recall_report(ann, bf, k=10, floor=0.65)
 
 
 def q_embedding_near_dups(spark, sf_dir):

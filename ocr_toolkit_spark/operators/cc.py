@@ -81,10 +81,14 @@ def _star_components(edges: DataFrame, max_iter: int) -> DataFrame:
     e = edges.localCheckpoint(eager=True)
     for _ in range(max_iter):
         e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
-        same = (
-            e2.count() == e.count()
-            and e2.exceptAll(e).limit(1).count() == 0
+        # fixed-point check in ONE action (r3 verdict #6 — was count() +
+        # exceptAll().count(), two jobs/round): both frames are distinct
+        # edge sets, so equality ⟺ empty symmetric difference, computed
+        # as two anti-joins unioned under a limit(1)
+        sym_diff = e2.join(e, ["src", "dst"], "left_anti").unionByName(
+            e.join(e2, ["src", "dst"], "left_anti")
         )
+        same = sym_diff.limit(1).count() == 0
         e = e2
         if same:
             roots = e.select(F.col("dst").alias("node")).distinct().withColumn(
@@ -107,6 +111,7 @@ def connected_components(
     id_b: str = "id_b",
     max_iter: int = 20,
     algorithm: str = "hash_min",
+    materialize_input: bool = True,
 ) -> DataFrame:
     """(node, component) for every node appearing in `pairs`; component =
     min node id of the connected component. Converges early when a round
@@ -114,15 +119,21 @@ def connected_components(
 
     `algorithm`: "hash_min" (default — rounds = diameter; right for the
     star-guarded near-dup graphs) or "star" (large-star/small-star,
-    O(log n) rounds; use for general graphs with long chains)."""
+    O(log n) rounds; use for general graphs with long chains).
+
+    `materialize_input=False` keeps construction lazy (no eager job at
+    call time) for plan inspection or conditional callers — API-consistent
+    with the dedup operators' materialize_frames flag (r3 ADVICE). The
+    iterative rounds still checkpoint eagerly; laziness covers only the
+    input projection."""
     from .skew import materialize
 
     # one materialization of the (src, dst) projection: both algorithms
     # reference it multiply (edges union + nodes scan + anti-join), and
     # `pairs` may carry an expensive unmaterialized LSH/verify lineage
-    e = materialize(
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    )
+    e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    if materialize_input:
+        e = materialize(e)
     if algorithm == "star":
         labeled = _star_components(
             e.filter(F.col("src") != F.col("dst")).distinct(), max_iter
@@ -189,10 +200,11 @@ def near_dedup_keep_first(
     df: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
+    materialize_input: bool = True,
 ) -> DataFrame:
     """Dedup decision from verified near-dup pairs: every doc in a
     component except its min-id representative is dropped."""
-    cc = connected_components(pairs)
+    cc = connected_components(pairs, materialize_input=materialize_input)
     losers = cc.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias(id_col)
     )
@@ -207,6 +219,7 @@ def full_near_dedup_keep_first(
     n_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.8,
+    materialize_frames: bool = True,
 ) -> DataFrame:
     """The production dedup composition: EXACT-collapse first, then the
     MinHash near-dup path over distinct texts only.
@@ -248,13 +261,16 @@ def full_near_dedup_keep_first(
 
     # (id, md5) is narrow — materialized so the text scan + hash run once
     # across the rep groupBy, the losers join and the semi-join (each
-    # frame below is referenced twice)
-    h = materialize(
-        df.filter(F.col(text_col).isNotNull()).select(
-            F.col(id_col).alias("_id"), F.md5(F.col(text_col)).alias("_h")
-        )
+    # frame below is referenced twice); materialize_frames=False keeps
+    # the whole composition lazy for plan inspection (r3 ADVICE)
+    h = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("_id"), F.md5(F.col(text_col)).alias("_h")
     )
-    rep = materialize(h.groupBy("_h").agg(F.min("_id").alias("_rep_id")))
+    if materialize_frames:
+        h = materialize(h)
+    rep = h.groupBy("_h").agg(F.min("_id").alias("_rep_id"))
+    if materialize_frames:
+        rep = materialize(rep)
     exact_losers = (
         h.join(rep, "_h")
         .filter(F.col("_id") != F.col("_rep_id"))
@@ -264,10 +280,12 @@ def full_near_dedup_keep_first(
         rep.select(F.col("_rep_id").alias(id_col)), id_col, "left_semi"
     )
     cand = minhash_lsh_candidates(reps_df, id_col, text_col, k=k,
-                                  n_hashes=n_hashes, bands=bands)
+                                  n_hashes=n_hashes, bands=bands,
+                                  materialize_frames=materialize_frames)
     pairs = jaccard_verify(cand, reps_df, id_col, text_col, k=k,
-                           threshold=threshold)
-    cc = connected_components(pairs)
+                           threshold=threshold,
+                           materialize_frames=materialize_frames)
+    cc = connected_components(pairs, materialize_input=materialize_frames)
     near_losers = cc.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias(id_col)
     )

@@ -19,8 +19,15 @@ buffers.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+# sentinel: distinguishes "caller said nothing" (default tiebreaker, warn if
+# absent) from an explicitly-passed column (raise if absent) and an explicit
+# opt-out (None — silent ts-only ordering)
+_DEFAULT_TIEBREAK = "event_id"
 
 
 def with_session_seq(
@@ -28,14 +35,33 @@ def with_session_seq(
     user_col: str = "user_id",
     ts_col: str = "ts",
     gap_minutes: int = 30,
-    tiebreak_col: str | None = "event_id",
+    tiebreak_col: str | None = _DEFAULT_TIEBREAK,
 ) -> DataFrame:
-    # deterministic window order needs a tiebreaker for equal timestamps;
-    # fall back to ts-only ordering when the frame has no such column
-    # (ADVICE r2: the hardcoded "event_id" broke the generic API)
+    # Deterministic window order needs a tiebreaker for equal timestamps.
+    # Silent fallback to ts-only ordering makes equal-ts events get
+    # nondeterministic session ordinals across runs (r3 ADVICE), so the
+    # fallback is never silent: an explicitly-passed missing column raises,
+    # the missing DEFAULT column warns, and only tiebreak_col=None (the
+    # caller's explicit opt-out) orders by ts alone quietly.
     order = [ts_col]
-    if tiebreak_col and tiebreak_col in events.columns:
-        order.append(tiebreak_col)
+    if tiebreak_col is not None:
+        if tiebreak_col in events.columns:
+            order.append(tiebreak_col)
+        elif tiebreak_col is not _DEFAULT_TIEBREAK:
+            raise ValueError(
+                f"tiebreak_col {tiebreak_col!r} not in frame columns "
+                f"{events.columns}; pass tiebreak_col=None to order by "
+                f"{ts_col!r} alone (equal-timestamp events then get "
+                "nondeterministic session ordinals across runs)"
+            )
+        else:
+            warnings.warn(
+                f"with_session_seq: default tiebreak column "
+                f"{_DEFAULT_TIEBREAK!r} not in frame; ordering by "
+                f"{ts_col!r} alone — equal-timestamp events may get "
+                "different session ordinals across runs",
+                stacklevel=2,
+            )
     w = Window.partitionBy(user_col).orderBy(*order)
     prev = F.lag(F.col(ts_col)).over(w)
     # NTZ timestamps cannot cast straight to long; the double cast yields

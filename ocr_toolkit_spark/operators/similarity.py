@@ -33,13 +33,22 @@ MAX_BROADCAST_QUERIES = 20_000
 
 
 def _broadcast_if_small(
-    queries: DataFrame, expanded: DataFrame, max_rows: int
+    queries: DataFrame,
+    expanded: DataFrame,
+    max_rows: int,
+    assume_small: bool = False,
 ) -> DataFrame:
     """Hint `expanded` (the per-bucket/probe-expanded query frame) for
     broadcast only when the INPUT query count is provably ≤ max_rows.
     The probe is one early-stop `limit(n+1).count()` job on the raw query
-    frame — O(max_rows) regardless of the true size."""
-    if queries.limit(max_rows + 1).count() <= max_rows:
+    frame — O(max_rows) regardless of the true size.
+
+    `assume_small=True` skips the probe entirely (zero jobs at query
+    construction — r3 verdict #9: the probe ran eagerly on every top-k
+    call, which a hot serving path should not pay): the CALLER asserts the
+    ≤ max_rows contract, and a violated assertion surfaces as a broadcast
+    build-side OOM rather than a plan fallback."""
+    if assume_small or queries.limit(max_rows + 1).count() <= max_rows:
         return F.broadcast(expanded)
     return expanded
 
@@ -71,6 +80,7 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_broadcast_queries: int = MAX_BROADCAST_QUERIES,
+    assume_small_queries: bool = False,
 ) -> DataFrame:
     """Exact cosine top-k per query. The query side is broadcast only when
     provably small (see MAX_BROADCAST_QUERIES)."""
@@ -81,7 +91,8 @@ def brute_force_topk(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v_vec")
     )
     scored = (
-        v.join(_broadcast_if_small(queries, q, max_broadcast_queries),
+        v.join(_broadcast_if_small(queries, q, max_broadcast_queries,
+                                   assume_small_queries),
                F.col("neighbor_id") != F.col("query_id"))
         .withColumn("sim", F.round(cosine(F.col("q_vec"), F.col("v_vec")), 6))
         .select("query_id", "neighbor_id", "sim")
@@ -126,6 +137,7 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_broadcast_queries: int = MAX_BROADCAST_QUERIES,
+    assume_small_queries: bool = False,
 ) -> DataFrame:
     """Approximate top-k: candidates share the query's SRP bucket, exact
     cosine re-rank inside buckets. Cost per query drops from N to
@@ -170,7 +182,8 @@ def lsh_topk(
     ).select("query_id", "q_vec", "tb.tbl", "tb.bucket")
 
     scored = (
-        v.join(_broadcast_if_small(queries, q, max_broadcast_queries),
+        v.join(_broadcast_if_small(queries, q, max_broadcast_queries,
+                                   assume_small_queries),
                ["tbl", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("sim", F.round(cosine(F.col("q_vec"), F.col("v_vec")), 6))
@@ -257,6 +270,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_broadcast_queries: int = MAX_BROADCAST_QUERIES,
+    assume_small_queries: bool = False,
 ) -> DataFrame:
     """IVF approximate top-k: inverted-file cells from a sampled spherical
     k-means quantizer; queries probe their `n_probe` nearest cells; exact
@@ -277,7 +291,8 @@ def ivf_topk(
         F.explode(q_assign(F.col(vec_col))).alias("cell"),
     )
     scored = (
-        v.join(_broadcast_if_small(queries, q, max_broadcast_queries), "cell")
+        v.join(_broadcast_if_small(queries, q, max_broadcast_queries,
+                                   assume_small_queries), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("sim", F.round(cosine(F.col("q_vec"), F.col("v_vec")), 6))
         .select("query_id", "neighbor_id", "sim")

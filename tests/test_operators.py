@@ -185,6 +185,38 @@ class TestSessionize:
         rows = sessionize(df, gap_minutes=30).collect()
         assert len(rows) == 1 and rows[0].n_events == 2  # strict '>' gap
 
+    def test_missing_tiebreak_never_silent(self, spark):
+        """r3 ADVICE: a missing tiebreak column must not silently fall back
+        to ts-only ordering (nondeterministic ordinals for equal
+        timestamps): explicit+missing raises, default+missing warns, and
+        tiebreak_col=None is the quiet explicit opt-out."""
+        import datetime as dt
+        import warnings as w
+
+        import pytest
+
+        from ocr_toolkit_spark.operators.sessions import with_session_seq
+
+        base = dt.datetime(2024, 1, 1)
+        df = spark.createDataFrame(
+            [(1, base), (1, base)], "user_id long, ts timestamp")
+
+        with pytest.raises(ValueError, match="not in frame columns"):
+            with_session_seq(df, tiebreak_col="order_key")
+        with pytest.warns(UserWarning, match="ordering by 'ts' alone"):
+            with_session_seq(df).collect()
+        with w.catch_warnings():
+            w.simplefilter("error", UserWarning)
+            with_session_seq(df, tiebreak_col=None).collect()
+        # present default column: quiet, deterministic
+        df2 = spark.createDataFrame(
+            [(7, 1, base), (3, 1, base)],
+            "event_id long, user_id long, ts timestamp")
+        with w.catch_warnings():
+            w.simplefilter("error", UserWarning)
+            rows = with_session_seq(df2).orderBy("event_id").collect()
+        assert [r.session_seq for r in rows] == [1, 1]
+
 
 class TestMethodSelection:
     def test_availability_short_circuit_and_reasons(self, spark):

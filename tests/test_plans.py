@@ -94,6 +94,48 @@ def test_large_query_set_not_broadcast(spark):
         assert "ResolvedHint" not in analyzed
 
 
+def test_assume_small_queries_skips_probe_and_broadcasts(spark):
+    """r3 verdict #9: assume_small_queries=True must (a) run ZERO jobs at
+    query construction — the size probe is the caller's asserted contract —
+    and (b) still carry the broadcast hint even above the gate ceiling."""
+    import pyspark.sql.dataframe as pdf
+
+    from ocr_toolkit_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        lsh_topk,
+    )
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    dim = len(e.select("embedding").first()[0])
+    big_q = e.filter("vec_id < 8")  # 8 queries > ceiling of 2
+
+    real_count = pdf.DataFrame.count
+
+    def boom(self):
+        raise AssertionError("size probe ran despite assume_small_queries")
+
+    pdf.DataFrame.count = boom
+    try:
+        outs = [
+            brute_force_topk(e, big_q, k=2, max_broadcast_queries=2,
+                             assume_small_queries=True),
+            lsh_topk(e, big_q, dim=dim, k=2, max_broadcast_queries=2,
+                     assume_small_queries=True),
+            ivf_topk(e, big_q, dim=dim, k=2, n_centroids=4,
+                     max_broadcast_queries=2, assume_small_queries=True),
+        ]
+    finally:
+        pdf.DataFrame.count = real_count
+    for out in outs:
+        analyzed = out._jdf.queryExecution().analyzed().toString()
+        assert "ResolvedHint" in analyzed
+    # and the asserted contract still computes the same rows
+    gated = brute_force_topk(e, big_q, k=2)
+    assert sorted(map(tuple, outs[0].collect())) == \
+        sorted(map(tuple, gated.collect()))
+
+
 def test_media_join_not_unconditionally_broadcast(spark, corpus_path):
     """r1 review item #5: the media table (binary payloads) is the BIG side
     at pipeline scale — join_media_to_spans must not carry a broadcast hint;
