@@ -456,6 +456,78 @@ def q_tpch_q3_topk(spark, sf_dir):
     )
 
 
+def q_tpch_q5(spark, sf_dir):
+    """TPC-H Q5 local-supplier volume — the 5+-way join-ordering probe
+    (r3 verdict #8): customer ⋈ orders ⋈ lineitem ⋈ supplier fact chain
+    with the c_nationkey = s_nationkey co-location constraint, then the
+    tiny nation/region dims BROADCAST (explicit hint — at 100 TB the fact
+    chain shuffles on its keys while the dims ship to every executor)."""
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    dec = lambda col: F.col(col).cast("decimal(18,4)")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .join(
+            s,
+            (F.col("l_suppkey") == s.s_suppkey)
+            & (F.col("c_nationkey") == s.s_nationkey),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))).cast("decimal(28,8)")
+            )
+            .cast("double")  # oracle twin parses via VARCHAR: see q_tpch_q1
+            .alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+def q_tpch_q17(spark, sf_dir):
+    """TPC-H Q17 small-quantity-order revenue — the correlated-scalar-
+    subquery shape, decorrelated Spark-first into a per-part aggregate
+    joined back (Catalyst does the same rewrite for IN/EXISTS; here it is
+    explicit). The DuckDB twin keeps the textbook correlated form, so the
+    oracle validates the decorrelation itself.
+
+    Exactness: the l_quantity < 0.2·avg(l_quantity) predicate is algebra'd
+    to 5·qty·count < sum(qty) — all integral doubles, exact in IEEE, so no
+    cross-engine float-rounding boundary can flip a row's membership."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#23") & (F.col("p_size") <= 15)
+    )
+    sel = li.join(
+        F.broadcast(p.select("p_partkey")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    per_part = sel.groupBy("l_partkey").agg(
+        F.sum("l_quantity").alias("sum_qty"), F.count("*").alias("cnt_qty")
+    )
+    small = sel.join(per_part, "l_partkey").filter(
+        F.lit(5) * F.col("l_quantity") * F.col("cnt_qty") < F.col("sum_qty")
+    )
+    return small.agg(
+        F.count("*").alias("n_small_orders"),
+        (
+            F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+            .cast("decimal(28,8)")
+            .cast("double")
+            / F.lit(7.0)
+        ).alias("avg_yearly"),
+    )
+
+
 def q_pivot_lineitem(spark, sf_dir):
     """Pivot: per-returnflag quantity split by linestatus."""
     li = _t(spark, sf_dir, "lineitem")
@@ -806,6 +878,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_bruteforce": q_similarity_bruteforce,
         "tpch_q1": q_tpch_q1,
         "tpch_q3_topk": q_tpch_q3_topk,
+        "tpch_q5": q_tpch_q5,
+        "tpch_q17": q_tpch_q17,
         "pivot_lineitem": q_pivot_lineitem,
         "set_ops": q_set_ops,
         "semi_join": q_semi_join,
@@ -1172,6 +1246,33 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY o.o_orderkey, o.o_orderdate
             ORDER BY revenue DESC, o.o_orderkey ASC
             LIMIT 10
+        """,
+        "tpch_q5": """
+            SELECT n.n_name,
+                   CAST(CAST(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l.l_discount AS DECIMAL(18,4))) AS DECIMAL(28,8))) AS VARCHAR) AS DOUBLE) AS revenue
+            FROM customer c
+            JOIN orders o ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                           AND c.c_nationkey = s.s_nationkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE r.r_name = 'EUROPE'
+              AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY n.n_name
+            ORDER BY revenue DESC, n.n_name ASC
+        """,
+        "tpch_q17": """
+            SELECT count(*) AS n_small_orders,
+                   CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) / 7.0 AS avg_yearly
+            FROM lineitem l
+            JOIN part p ON p.p_partkey = l.l_partkey
+            WHERE p.p_brand = 'Brand#23' AND p.p_size <= 15
+              AND 5 * l.l_quantity * (SELECT count(*) FROM lineitem l2
+                                      WHERE l2.l_partkey = l.l_partkey)
+                  < (SELECT sum(l2.l_quantity) FROM lineitem l2
+                     WHERE l2.l_partkey = l.l_partkey)
         """,
         "pivot_lineitem": """
             SELECT l_returnflag,
