@@ -50,6 +50,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--list-snapshots", metavar="TABLE_PATH",
                    help="print the output table's snapshot log "
                         "(id, run, partitions, commit time) and exit")
+    p.add_argument("--expire-snapshots", nargs=2,
+                   metavar=("TABLE_PATH", "KEEP_LAST"),
+                   help="drop snapshot history older than the last "
+                        "KEEP_LAST snapshots (checkpoint-safe; expired "
+                        "ids become unreadable, like Iceberg "
+                        "expireSnapshots) and exit")
     p.add_argument("--input", help="documents parquet path")
     p.add_argument("--output", help="extracted output path")
     p.add_argument("--lineage", help="lineage table path")
@@ -90,9 +96,18 @@ def main(argv: list[str] | None = None) -> int:
                 "n_partitions": len(s["partitions"]),
             }))
         return 0
+    if args.expire_snapshots:
+        from ocr_toolkit_spark import io as tio
+
+        table, keep = args.expire_snapshots
+        expired = tio.expire_snapshots(table, int(keep))
+        print(json.dumps({"expired": expired,
+                          "tip": tio.latest_snapshot_id(table)}))
+        return 0
     if not (args.input and args.output and args.lineage):
         p.error("--input, --output and --lineage are required "
-                "(unless using --list-formats or --list-snapshots)")
+                "(unless using --list-formats, --list-snapshots or "
+                "--expire-snapshots)")
 
     from ocr_toolkit_spark.pipeline import extraction_stats, run_extraction
     from ocr_toolkit_spark.session import get_spark

@@ -165,8 +165,28 @@ def snapshots(table_path: str) -> list[dict]:
     snaps = []
     parts: dict[str, str] = {}
     for sid in range(1, tip + 1):
-        rec = _read_snap(d, sid)
-        if "delta" in rec:
+        try:
+            rec = _read_snap(d, sid)
+        except FileNotFoundError:
+            if snaps:
+                raise ValueError(
+                    f"snapshot log under {table_path} has a hole at {sid}"
+                )
+            continue  # expired prefix (expire_snapshots)
+        if not snaps:
+            # first retained record must carry full state: a checkpoint or
+            # legacy record (embedded partitions) or snapshot 1 (delta IS
+            # the full map) — expire_snapshots guarantees this
+            if "partitions" in rec:
+                parts = dict(rec["partitions"])
+            elif sid == 1:
+                parts = dict(rec["delta"])
+            else:
+                raise ValueError(
+                    f"snapshot log under {table_path} starts at "
+                    f"non-checkpoint {sid} after expiry"
+                )
+        elif "delta" in rec:
             parts.update(rec["delta"])
         else:  # legacy cumulative-only record
             parts = dict(rec["partitions"])
@@ -228,6 +248,78 @@ def snapshot_commit(
         f"snapshot_commit: could not claim a snapshot id under {d} "
         "after 50 attempts"
     )
+
+
+def changed_partitions_between(
+    table_path: str, from_snapshot: int, to_snapshot: int
+) -> dict[str, str]:
+    """Partitions whose ownership changed in (from_snapshot, to_snapshot]
+    — the Iceberg incremental-scan analog, {partition_id: new owning
+    run_id}. Folds only the delta files in the interval: O(interval), no
+    checkpoint needed. from_snapshot=0 means 'since the beginning'."""
+    if to_snapshot < from_snapshot:
+        raise ValueError(
+            f"to_snapshot {to_snapshot} < from_snapshot {from_snapshot}"
+        )
+    d = _snapshot_dir(table_path)
+    changed: dict[str, str] = {}
+    for sid in range(from_snapshot + 1, to_snapshot + 1):
+        try:
+            rec = _read_snap(d, sid)
+        except FileNotFoundError:
+            raise ValueError(f"no snapshot {sid} under {table_path}")
+        if "delta" in rec:
+            changed.update(rec["delta"])
+        else:  # legacy cumulative-only record: its full map IS its claim set
+            changed.update(rec["partitions"])
+    return changed
+
+
+def read_extracted_changes(
+    spark: SparkSession, path: str, from_snapshot: int, to_snapshot: int
+) -> DataFrame:
+    """Incremental read: rows of partitions committed or rewritten in
+    (from_snapshot, to_snapshot] — what a downstream incremental consumer
+    (index refresh, dedup delta pass) processes instead of the full table.
+    Same physical partition-column pruning as read_extracted_as_of.
+
+    Same emulation honesty bound as read_extracted_as_of: under the
+    pipeline's write-once discipline a changed partition's current files
+    ARE its state as of to_snapshot, so the incremental read is exact."""
+    pids = [
+        int(p)
+        for p in changed_partitions_between(path, from_snapshot, to_snapshot)
+    ]
+    return spark.read.parquet(path).filter(F.col("partition_id").isin(pids))
+
+
+def expire_snapshots(table_path: str, keep_last: int) -> list[int]:
+    """Iceberg `expireSnapshots` analog: drop history older than the last
+    `keep_last` snapshots, keeping every retained id readable. Returns the
+    expired ids (oldest first).
+
+    A snapshot file may only be deleted if NO retained id's state fold
+    starts at or below it: the fold for id s starts at its nearest
+    checkpoint (max multiple of CHECKPOINT_EVERY ≤ s, or 1), so the delete
+    boundary is the fold start of the OLDEST retained id. Expired ids
+    become unreadable (partitions_as_of raises), exactly like Iceberg."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be ≥ 1")
+    tip = latest_snapshot_id(table_path)
+    if tip == 0:
+        return []
+    oldest_retained = max(tip - keep_last + 1, 1)
+    boundary = max(
+        (oldest_retained // CHECKPOINT_EVERY) * CHECKPOINT_EVERY, 1
+    )
+    d = _snapshot_dir(table_path)
+    expired = []
+    for sid in range(1, boundary):
+        f = os.path.join(d, f"snap-{sid:08d}.json")
+        if os.path.exists(f):
+            os.unlink(f)
+            expired.append(sid)
+    return expired
 
 
 def read_extracted_as_of(

@@ -331,6 +331,68 @@ def test_snapshot_log_checkpoint_fold_and_commit_cost(tmpdir_path):
     assert tio.snapshots(legacy)[-1]["partitions"] == {"3": "old", "4": "new"}
 
 
+def test_incremental_read_and_snapshot_expiry(spark, tmpdir_path):
+    """Iceberg-parity additions (r4): read_extracted_changes returns
+    exactly the rows of partitions committed in (from, to], and
+    expire_snapshots drops old history while every retained snapshot stays
+    readable (checkpoint-safe boundary)."""
+    corpus = os.path.join(tmpdir_path, "docs.parquet")
+    out = os.path.join(tmpdir_path, "out")
+    lineage = os.path.join(tmpdir_path, "lineage")
+    write_corpus(corpus, n_docs=200, seed=42)
+
+    docs = with_partition_id(tio.read_documents(spark, corpus), 64)
+    half = os.path.join(tmpdir_path, "half.parquet")
+    docs.filter(F.col("partition_id") < 32).drop("partition_id") \
+        .write.parquet(half)
+    s1 = run_extraction(spark, half, out, lineage, run_id="run-1")
+    s2 = run_extraction(spark, corpus, out, lineage, run_id="run-2")
+
+    # incremental (1, 2]: exactly run-2's partitions/rows
+    changed = tio.changed_partitions_between(out, 1, 2)
+    assert set(changed.values()) == {"run-2"}
+    inc = tio.read_extracted_changes(spark, out, 1, 2)
+    assert inc.count() == s2.doc_count
+    assert not {
+        int(r["partition_id"])
+        for r in inc.select("partition_id").distinct().collect()
+    } & set(int(p) for p in tio.partitions_as_of(out, 1))
+    # (0, 2] = everything; (2, 2] = empty
+    assert tio.read_extracted_changes(spark, out, 0, 2).count() == \
+        s1.doc_count + s2.doc_count
+    assert tio.read_extracted_changes(spark, out, 2, 2).count() == 0
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        tio.changed_partitions_between(out, 2, 1)
+
+    # expiry on a long synthetic log: retained ids stay readable, expired
+    # ids raise, and the boundary never outruns the nearest checkpoint
+    table = os.path.join(tmpdir_path, "expirylog")
+    ck = tio.CHECKPOINT_EVERY
+    n = 2 * ck + 5
+    prefixes, state = [], {}
+    for i in range(1, n + 1):
+        tio.snapshot_commit(table, f"r{i}", [i % 16])
+        state[str(i % 16)] = f"r{i}"
+        prefixes.append(dict(state))
+    expired = tio.expire_snapshots(table, keep_last=4)
+    # oldest retained = n-3 (= 2*ck+2) → boundary = 2*ck → 1..2*ck-1 gone
+    assert expired == list(range(1, 2 * ck))
+    for sid in range(2 * ck, n + 1):  # boundary checkpoint + retained
+        assert tio.partitions_as_of(table, sid) == prefixes[sid - 1], sid
+    with pytest.raises(ValueError):
+        tio.partitions_as_of(table, 2 * ck - 1)
+    # history listing skips the expired prefix and folds from the boundary
+    snaps = tio.snapshots(table)
+    assert [s["snapshot_id"] for s in snaps] == list(range(2 * ck, n + 1))
+    assert snaps[-1]["partitions"] == prefixes[-1]
+    # commits continue on top of the truncated log
+    tio.snapshot_commit(table, "post-expiry", [3])
+    assert tio.partitions_as_of(table, n + 1)["3"] == "post-expiry"
+
+
 def test_snapshot_log_random_run_sequences(tmpdir_path):
     """Property: for ANY sequence of commits (random partition subsets,
     overlapping owners), the latest snapshot's mapping equals the
