@@ -62,9 +62,14 @@ def main() -> int:
 
     result: dict = {"sf": sf, "cpus": cpus, "n_docs": n_docs, "runs": runs}
 
-    def best_of(fn) -> tuple[float, list, list]:
+    def best_of(fn, prep=None) -> tuple[float, list, list]:
+        # `prep` runs OUTSIDE the timed region (r4 review #7: deleting the
+        # previous pass's partitioned output inside the timing inflated
+        # the write legs and skewed the batch sweep)
         times, steals = [], []
         for _ in range(runs):
+            if prep is not None:
+                prep()
             s0 = cpu_stat()
             t0 = time.perf_counter()
             fn()
@@ -119,9 +124,11 @@ def main() -> int:
             .collect()
         )
 
+    def clean():
+        shutil.rmtree(write_dir, ignore_errors=True)
+
     def write_of(frame):
         def fn():
-            shutil.rmtree(write_dir, ignore_errors=True)
             (
                 frame.write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
@@ -131,16 +138,14 @@ def main() -> int:
         return fn
 
     live_frame = with_partition_id(extract_spans(sel))
-    for name, fn in (
-        ("extract", run_extract),
-        ("write_live", write_of(live_frame)),
-    ):
-        best, times, steals = best_of(fn)
-        result[name] = {"best": best, "times": times, "steal_pct": steals}
+    best, times, steals = best_of(run_extract)
+    result["extract"] = {"best": best, "times": times, "steal_pct": steals}
+    best, times, steals = best_of(write_of(live_frame), prep=clean)
+    result["write_live"] = {"best": best, "times": times, "steal_pct": steals}
 
     # cached-source write: kernel + conversion paid once up front
     cached = with_partition_id(extract_spans(sel)).localCheckpoint(eager=True)
-    best, times, steals = best_of(write_of(cached))
+    best, times, steals = best_of(write_of(cached), prep=clean)
     result["write_cached"] = {"best": best, "times": times, "steal_pct": steals}
     cached.unpersist()
 
@@ -148,7 +153,7 @@ def main() -> int:
     sweep = {}
     for mrpb in (256, 512, 1024):
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(mrpb))
-        best, times, steals = best_of(write_of(live_frame))
+        best, times, steals = best_of(write_of(live_frame), prep=clean)
         sweep[str(mrpb)] = {"best": best, "times": times, "steal_pct": steals}
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
     result["write_live_batch_sweep"] = sweep

@@ -34,6 +34,8 @@ BENCH_QUERIES = [
     # SRP-bucketed embedding near-dup join
     "sessionize",
     "embedding_near_dups",
+    # added r4: the 6-way join probe (broadcast dims + fact-chain shuffle)
+    "tpch_q5",
 ]
 
 DOCS_PER_SF = 200_000  # extraction corpus rows per unit sf

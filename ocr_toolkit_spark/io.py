@@ -112,18 +112,23 @@ def _read_snap(d: str, snapshot_id: int) -> dict:
         return json.load(f)
 
 
-def latest_snapshot_id(table_path: str) -> int:
-    """Highest committed snapshot id, 0 if none — one directory listing,
-    zero file reads (ids are dense, so max(name) is the tip)."""
+def _snapshot_ids(table_path: str) -> list[int]:
+    """Existing snapshot ids, sorted — one directory listing, no reads."""
     d = _snapshot_dir(table_path)
     if not os.path.isdir(d):
-        return 0
-    ids = [
+        return []
+    return sorted(
         int(name[5:13])
         for name in os.listdir(d)
         if name.startswith("snap-") and name.endswith(".json")
-    ]
-    return max(ids, default=0)
+    )
+
+
+def latest_snapshot_id(table_path: str) -> int:
+    """Highest committed snapshot id, 0 if none — one directory listing,
+    zero file reads (ids are dense, so max(name) is the tip)."""
+    ids = _snapshot_ids(table_path)
+    return ids[-1] if ids else 0
 
 
 def partitions_as_of(table_path: str, snapshot_id: int) -> dict[str, str]:
@@ -140,8 +145,12 @@ def partitions_as_of(table_path: str, snapshot_id: int) -> dict[str, str]:
     except FileNotFoundError:
         raise ValueError(f"no snapshot {snapshot_id} under {table_path}")
     # checkpoint files (and legacy cumulative-format files) carry the full
-    # map; snapshot 1's delta IS the full map
-    parts = dict(base.get("partitions") or base["delta"])
+    # map; snapshot 1's delta IS the full map. Membership test, not
+    # truthiness: a legacy base with an EMPTY partitions map must fold to
+    # {}, not KeyError on the absent delta (r4 review #4)
+    parts = dict(
+        base["partitions"] if "partitions" in base else base["delta"]
+    )
     for sid in range(start + 1, snapshot_id + 1):
         try:
             rec = _read_snap(d, sid)
@@ -161,18 +170,20 @@ def snapshots(table_path: str) -> list[dict]:
     for the common 'what is committed now' question use
     `latest_snapshot_id` + `partitions_as_of` instead."""
     d = _snapshot_dir(table_path)
-    tip = latest_snapshot_id(table_path)
+    ids = _snapshot_ids(table_path)
+    if not ids:
+        return []
+    # start at the min EXISTING id (r4 review #6: scanning from 1 after a
+    # deep expiry did O(expired) exception-driven failed opens per call)
     snaps = []
     parts: dict[str, str] = {}
-    for sid in range(1, tip + 1):
+    for sid in range(ids[0], ids[-1] + 1):
         try:
             rec = _read_snap(d, sid)
         except FileNotFoundError:
-            if snaps:
-                raise ValueError(
-                    f"snapshot log under {table_path} has a hole at {sid}"
-                )
-            continue  # expired prefix (expire_snapshots)
+            raise ValueError(
+                f"snapshot log under {table_path} has a hole at {sid}"
+            )
         if not snaps:
             # first retained record must carry full state: a checkpoint or
             # legacy record (embedded partitions) or snapshot 1 (delta IS
@@ -255,14 +266,16 @@ def changed_partitions_between(
 ) -> dict[str, str]:
     """Partitions whose ownership changed in (from_snapshot, to_snapshot]
     — the Iceberg incremental-scan analog, {partition_id: new owning
-    run_id}. Folds only the delta files in the interval: O(interval), no
-    checkpoint needed. from_snapshot=0 means 'since the beginning'."""
+    run_id}. Folds only the delta files in the interval (plus one
+    checkpoint fold when a legacy cumulative record needs diffing).
+    from_snapshot=0 means 'since the beginning'."""
     if to_snapshot < from_snapshot:
         raise ValueError(
             f"to_snapshot {to_snapshot} < from_snapshot {from_snapshot}"
         )
     d = _snapshot_dir(table_path)
     changed: dict[str, str] = {}
+    cur: dict[str, str] | None = None  # running cumulative, for legacy recs
     for sid in range(from_snapshot + 1, to_snapshot + 1):
         try:
             rec = _read_snap(d, sid)
@@ -270,8 +283,25 @@ def changed_partitions_between(
             raise ValueError(f"no snapshot {sid} under {table_path}")
         if "delta" in rec:
             changed.update(rec["delta"])
-        else:  # legacy cumulative-only record: its full map IS its claim set
-            changed.update(rec["partitions"])
+            if cur is not None:
+                cur.update(rec["delta"])
+        else:
+            # legacy cumulative-only record: its claim set is the diff vs
+            # the state BEFORE it — not its full map, which would report
+            # the whole table as changed (r4 review #2)
+            if cur is None:
+                cur = (
+                    partitions_as_of(table_path, from_snapshot)
+                    if from_snapshot >= 1
+                    else {}
+                )
+                # replay this interval's earlier deltas into the base
+                cur.update(changed)
+            claims = {
+                p: r for p, r in rec["partitions"].items() if cur.get(p) != r
+            }
+            changed.update(claims)
+            cur = dict(rec["partitions"])
     return changed
 
 

@@ -121,11 +121,14 @@ def connected_components(
     star-guarded near-dup graphs) or "star" (large-star/small-star,
     O(log n) rounds; use for general graphs with long chains).
 
-    `materialize_input=False` keeps construction lazy (no eager job at
-    call time) for plan inspection or conditional callers — API-consistent
-    with the dedup operators' materialize_frames flag (r3 ADVICE). The
-    iterative rounds still checkpoint eagerly; laziness covers only the
-    input projection."""
+    EAGERNESS: connected_components is an inherently EAGER operator — the
+    fixed-point loop must run Spark actions at call time to decide
+    convergence, so calling it executes the full upstream lineage
+    regardless of flags (unlike the dedup candidate generators, which are
+    plan-only until an action). `materialize_input=False` only skips the
+    extra input-projection checkpoint JOB (API consistency with
+    materialize_frames, r3 ADVICE); it does NOT make construction lazy
+    (r4 review #3)."""
     from .skew import materialize
 
     # one materialization of the (src, dst) projection: both algorithms
@@ -261,8 +264,10 @@ def full_near_dedup_keep_first(
 
     # (id, md5) is narrow — materialized so the text scan + hash run once
     # across the rep groupBy, the losers join and the semi-join (each
-    # frame below is referenced twice); materialize_frames=False keeps
-    # the whole composition lazy for plan inspection (r3 ADVICE)
+    # frame below is referenced twice). materialize_frames=False removes
+    # the candidate-generation checkpoint jobs, but the composition still
+    # executes eagerly overall: the CC fixed-point loop below runs actions
+    # at call time (see connected_components EAGERNESS note, r4 review #3)
     h = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("_id"), F.md5(F.col(text_col)).alias("_h")
     )

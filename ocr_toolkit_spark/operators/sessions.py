@@ -24,10 +24,15 @@ import warnings
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-# sentinel: distinguishes "caller said nothing" (default tiebreaker, warn if
-# absent) from an explicitly-passed column (raise if absent) and an explicit
-# opt-out (None — silent ts-only ordering)
-_DEFAULT_TIEBREAK = "event_id"
+# sentinel: distinguishes "caller said nothing" (default tiebreaker
+# 'event_id', warn if absent) from an explicitly-passed column (raise if
+# absent) and an explicit opt-out (None — silent ts-only ordering). A
+# unique object, NOT the string "event_id": string-identity would make the
+# raise/warn split depend on CPython interning of the caller's value
+# (r4 review #5).
+_DEFAULT_TIEBREAK: "str" = type(
+    "_DefaultTiebreak", (str,), {"__slots__": ()}
+)("event_id")
 
 
 def with_session_seq(

@@ -148,9 +148,15 @@ def run_extraction(
     # their lineage rows healed below so the manifest converges.
     done_pids, orphans = reconcile_committed(spark, lineage_path, output_path)
     if orphans:
+        # healed doc_count comes from the WRITTEN OUTPUT (partition-pruned
+        # scan of just the orphan partitions), not the current input: the
+        # manifest invariant is 'doc_count matches the committed files',
+        # and the resume input may differ from what the crashed run saw
+        # (grown corpus, different filter) — r4 review #1
         cnts = {
             int(r["partition_id"]): int(r["n"])
-            for r in docs.select("partition_id")
+            for r in tio.read_extracted(spark, output_path)
+            .select("partition_id")
             .where(F.col("partition_id").isin(list(orphans)))
             .groupBy("partition_id")
             .agg(F.count("*").alias("n"))

@@ -329,6 +329,26 @@ def test_snapshot_log_checkpoint_fold_and_commit_cost(tmpdir_path):
     tio.snapshot_commit(legacy, "new", [4])
     assert tio.partitions_as_of(legacy, 2) == {"3": "old", "4": "new"}
     assert tio.snapshots(legacy)[-1]["partitions"] == {"3": "old", "4": "new"}
+    # a legacy record's incremental claim set is the DIFF vs prior state,
+    # not its full cumulative map (r4 review #2); here a second legacy
+    # record re-asserts "3": "old" and adds "5"
+    with open(os.path.join(d, "snap-00000003.json"), "w") as f:
+        _json.dump({"snapshot_id": 3, "parent_id": 2, "run_id": "old2",
+                    "committed_ms": 0,
+                    "partitions": {"3": "old", "4": "new", "5": "old2"}}, f)
+    assert tio.changed_partitions_between(legacy, 2, 3) == {"5": "old2"}
+    assert tio.changed_partitions_between(legacy, 0, 3) == {
+        "3": "old", "4": "new", "5": "old2"}
+
+    # a legacy base with an EMPTY partitions map folds to {}, not KeyError
+    # (r4 review #4)
+    empty = os.path.join(tmpdir_path, "emptylegacy")
+    d2 = os.path.join(empty, "_snapshots")
+    os.makedirs(d2)
+    with open(os.path.join(d2, "snap-00000001.json"), "w") as f:
+        _json.dump({"snapshot_id": 1, "parent_id": None, "run_id": "old",
+                    "committed_ms": 0, "partitions": {}}, f)
+    assert tio.partitions_as_of(empty, 1) == {}
 
 
 def test_incremental_read_and_snapshot_expiry(spark, tmpdir_path):
