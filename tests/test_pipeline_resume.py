@@ -428,10 +428,12 @@ def test_snapshot_log_random_run_sequences(tmpdir_path):
         table = os.path.join(tmpdir_path, f"snaplog{trial}")
         expected: dict[str, str] = {}
         prefixes = []
+        commit_log: list[dict[str, str]] = []  # each commit's claim set
         for i in range(rng.randrange(2, 7)):
             run = f"run-{i}"
             pids = rng.sample(range(16), rng.randrange(1, 6))
             tio.snapshot_commit(table, run, pids)
+            commit_log.append({str(p): run for p in pids})
             for p in pids:
                 expected[str(p)] = run
             prefixes.append(dict(expected))
@@ -442,3 +444,22 @@ def test_snapshot_log_random_run_sequences(tmpdir_path):
             None, *range(1, len(prefixes))]
         for s, want in zip(snaps, prefixes):
             assert s["partitions"] == want, (trial, s["snapshot_id"])
+        # incremental-read property: for ANY (from, to] interval, the
+        # changed set equals the diff of the prefix folds restricted to
+        # partitions claimed in the interval (r4)
+        n = len(prefixes)
+        for _ in range(4):
+            a = rng.randrange(0, n + 1)
+            b = rng.randrange(a, n + 1)
+            got = tio.changed_partitions_between(table, a, b)
+            before = prefixes[a - 1] if a >= 1 else {}
+            after = prefixes[b - 1] if b >= 1 else {}
+            want_changed = {}
+            for i in range(a, b):  # commits a+1..b are prefixes[a..b-1]
+                for p, r in commit_log[i].items():
+                    want_changed[p] = r
+            assert got == want_changed, (trial, a, b)
+            # and the changed set composed onto 'before' gives 'after'
+            merged = dict(before)
+            merged.update(got)
+            assert merged == after, (trial, a, b)
