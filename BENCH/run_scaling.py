@@ -31,19 +31,11 @@ LEVELS = (2, 8, 32)
 RUNNER = r"""
 import json, os, sys, time
 sys.path.insert(0, {repo!r})
+sys.path.insert(0, os.path.join({repo!r}, "BENCH"))
 os.environ.setdefault("SPARK_DRIVER_MEMORY", "64g")
 from ocr_toolkit_spark.session import get_spark
 from ocr_toolkit_spark.operators.extract import extract_spans
-
-def cpu_stat():
-    with open("/proc/stat") as f:
-        parts = f.readline().split()[1:]
-    vals = [int(x) for x in parts]
-    return sum(vals), vals[7] if len(vals) > 7 else 0  # total, steal
-
-def steal_pct(before, after):
-    dt = after[0] - before[0]
-    return 100.0 * (after[1] - before[1]) / dt if dt else 0.0
+from _measure import cpu_stat, steal_pct
 
 cpus = int(sys.argv[1]); corpus = sys.argv[2]; passes = int(sys.argv[3])
 # scan-direct: byte-range parquet splits balance BYTES per task (work is

@@ -37,17 +37,9 @@ import time
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-
-def cpu_stat():
-    with open("/proc/stat") as f:
-        vals = [int(x) for x in f.readline().split()[1:]]
-    return sum(vals), vals[7] if len(vals) > 7 else 0
-
-
-def steal_pct(before, after):
-    dt = after[0] - before[0]
-    return 100.0 * (after[1] - before[1]) / dt if dt else 0.0
+from _measure import cpu_stat, steal_pct  # noqa: E402
 
 
 def main() -> int:
@@ -149,13 +141,22 @@ def main() -> int:
     result["write_cached"] = {"best": best, "times": times, "steal_pct": steals}
     cached.unpersist()
 
-    # Arrow batch sweep on the live write leg
+    # Arrow batch sweep on the live write leg; the session-default size is
+    # already measured as write_live — reuse it rather than paying another
+    # N write passes (r4 review pass 2, #6)
+    from ocr_toolkit_spark.session import ARROW_MAX_RECORDS
+
     sweep = {}
     for mrpb in (256, 512, 1024):
+        if mrpb == ARROW_MAX_RECORDS:
+            sweep[str(mrpb)] = dict(result["write_live"], reused=True)
+            continue
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(mrpb))
         best, times, steals = best_of(write_of(live_frame), prep=clean)
         sweep[str(mrpb)] = {"best": best, "times": times, "steal_pct": steals}
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
+    spark.conf.set(
+        "spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_MAX_RECORDS)
+    )
     result["write_live_batch_sweep"] = sweep
 
     # decomposition summary (bests; VM noise bounded by per-pass steal%)

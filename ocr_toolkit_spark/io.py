@@ -155,7 +155,12 @@ def partitions_as_of(table_path: str, snapshot_id: int) -> dict[str, str]:
         try:
             rec = _read_snap(d, sid)
         except FileNotFoundError:
-            raise ValueError(f"no snapshot {snapshot_id} under {table_path}")
+            # name the ACTUALLY missing file: for an interior hole the
+            # requested id may well exist on disk (r4 review pass 2, #3)
+            raise ValueError(
+                f"no snapshot {snapshot_id} under {table_path}: "
+                f"log file for snapshot {sid} is missing"
+            )
         if "delta" in rec:
             parts.update(rec["delta"])
         else:  # legacy cumulative-only record
@@ -273,6 +278,11 @@ def changed_partitions_between(
         raise ValueError(
             f"to_snapshot {to_snapshot} < from_snapshot {from_snapshot}"
         )
+    # validate the cursor even for empty intervals: a stale/bogus
+    # to_snapshot must raise, not silently report "no changes"
+    # (r4 review pass 2, #2)
+    if to_snapshot > latest_snapshot_id(table_path):
+        raise ValueError(f"no snapshot {to_snapshot} under {table_path}")
     d = _snapshot_dir(table_path)
     changed: dict[str, str] = {}
     cur: dict[str, str] | None = None  # running cumulative, for legacy recs
@@ -346,9 +356,11 @@ def expire_snapshots(table_path: str, keep_last: int) -> list[int]:
     expired = []
     for sid in range(1, boundary):
         f = os.path.join(d, f"snap-{sid:08d}.json")
-        if os.path.exists(f):
-            os.unlink(f)
+        try:
+            os.unlink(f)  # tolerant of concurrent expiry (review pass 2, #4)
             expired.append(sid)
+        except FileNotFoundError:
+            pass
     return expired
 
 

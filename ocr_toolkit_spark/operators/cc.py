@@ -125,10 +125,12 @@ def connected_components(
     fixed-point loop must run Spark actions at call time to decide
     convergence, so calling it executes the full upstream lineage
     regardless of flags (unlike the dedup candidate generators, which are
-    plan-only until an action). `materialize_input=False` only skips the
-    extra input-projection checkpoint JOB (API consistency with
-    materialize_frames, r3 ADVICE); it does NOT make construction lazy
-    (r4 review #3)."""
+    plan-only until an action). `materialize_input=False` does NOT make
+    construction lazy (r4 review #3), and it is a PESSIMIZATION when the
+    result is consumed: the input projection is referenced 2–3 times
+    (edge union / nodes union), so an expensive unmaterialized lineage
+    re-executes per reference (r4 review pass 2, #1). Use False only to
+    inspect how the frame is BUILT."""
     from .skew import materialize
 
     # one materialization of the (src, dst) projection: both algorithms

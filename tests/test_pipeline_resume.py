@@ -386,6 +386,11 @@ def test_incremental_read_and_snapshot_expiry(spark, tmpdir_path):
 
     with pytest.raises(ValueError):
         tio.changed_partitions_between(out, 2, 1)
+    # a bogus/stale cursor must raise even for an empty interval, never
+    # silently report "no changes" (r4 review pass 2, #2)
+    with pytest.raises(ValueError):
+        tio.changed_partitions_between(out, 99, 99)
+    assert tio.changed_partitions_between(out, 2, 2) == {}
 
     # expiry on a long synthetic log: retained ids stay readable, expired
     # ids raise, and the boundary never outruns the nearest checkpoint
