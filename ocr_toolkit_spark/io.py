@@ -316,7 +316,11 @@ def changed_partitions_between(
 
 
 def read_extracted_changes(
-    spark: SparkSession, path: str, from_snapshot: int, to_snapshot: int
+    spark: SparkSession,
+    path: str,
+    from_snapshot: int,
+    to_snapshot: int,
+    partition_col: str = "partition_id",
 ) -> DataFrame:
     """Incremental read: rows of partitions committed or rewritten in
     (from_snapshot, to_snapshot] — what a downstream incremental consumer
@@ -330,7 +334,7 @@ def read_extracted_changes(
         int(p)
         for p in changed_partitions_between(path, from_snapshot, to_snapshot)
     ]
-    return spark.read.parquet(path).filter(F.col("partition_id").isin(pids))
+    return spark.read.parquet(path).filter(F.col(partition_col).isin(pids))
 
 
 def expire_snapshots(table_path: str, keep_last: int) -> list[int]:
@@ -365,7 +369,10 @@ def expire_snapshots(table_path: str, keep_last: int) -> list[int]:
 
 
 def read_extracted_as_of(
-    spark: SparkSession, path: str, snapshot_id: int
+    spark: SparkSession,
+    path: str,
+    snapshot_id: int,
+    partition_col: str = "partition_id",
 ) -> DataFrame:
     """Time-travel read: only partitions present in the table AS OF the
     given snapshot. The filter is on the physical partition column, so it
@@ -381,4 +388,4 @@ def read_extracted_as_of(
     pipeline.run_extraction's reconcile step). A real catalog lifts this.
     """
     pids = [int(p) for p in partitions_as_of(path, snapshot_id)]
-    return spark.read.parquet(path).filter(F.col("partition_id").isin(pids))
+    return spark.read.parquet(path).filter(F.col(partition_col).isin(pids))

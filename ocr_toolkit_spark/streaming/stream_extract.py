@@ -53,6 +53,94 @@ def stream_extract(
     return writer.start()
 
 
+def stream_extract_committed(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    with_images: bool = True,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+    n_buckets: int = 64,
+) -> StreamingQuery:
+    """Streaming extraction with SNAPSHOT COMMITS: every micro-batch lands
+    as one snapshot in the output table's log — the Iceberg streaming-
+    ingest shape (each commit = one append snapshot), giving streaming
+    output the same time-travel / incremental-read / expiry surface as the
+    batch pipeline (io.py).
+
+    Exactly-once across restarts, twice over:
+
+    - the data write partitions by (batch_id, partition_id) with dynamic
+      overwrite, so a REPLAYED batch (crash before the checkpoint
+      advanced) replaces exactly its own files — never duplicates;
+    - the snapshot log claims the batch id under THIS STREAM's identity
+      (derived from the checkpoint location, the Spark analog of
+      Iceberg's (queryId, epochId) replay key): a replayed batch whose
+      snapshot already exists with the same identity is skipped (crash
+      was after the commit, before the checkpoint advance), while a
+      batch id owned by a DIFFERENT identity raises — a fresh checkpoint
+      pointed at an existing table must fail loudly, not silently skip
+      or clobber committed batches.
+
+    Readers: `io.read_extracted_as_of(spark, out, N,
+    partition_col="batch_id")` pins the first N committed batches;
+    `read_extracted_changes(..., partition_col="batch_id")` reads just the
+    batches an incremental consumer hasn't seen; `expire_snapshots` prunes
+    history. The snapshot 'partition' dimension here is the BATCH — the
+    streaming analog of the batch pipeline's bucket partitions."""
+    import hashlib
+    import os
+
+    from .. import io as tio
+    from ..pipeline import with_partition_id
+
+    stream_id = hashlib.sha256(
+        os.path.abspath(checkpoint_dir).encode()
+    ).hexdigest()[:12]
+
+    extracted = extract_spans(
+        read_documents_stream(spark, input_dir, max_files_per_trigger),
+        with_images,
+    )
+
+    def commit_batch(df: DataFrame, batch_id: int) -> None:
+        b = int(batch_id)
+        run_id = f"stream-{stream_id}-batch-{b}"
+        tip = tio.latest_snapshot_id(output_dir)
+        owner = (
+            tio.partitions_as_of(output_dir, tip).get(str(b)) if tip else None
+        )
+        if owner == run_id:
+            return  # replayed batch, already durable in data AND log
+        if owner is not None:
+            raise RuntimeError(
+                f"batch id {b} of {output_dir} is already committed by "
+                f"{owner!r}; this stream (checkpoint {checkpoint_dir}) "
+                "would clobber it — a fresh checkpoint must write to a "
+                "fresh table"
+            )
+        out = with_partition_id(df, n_buckets).withColumn(
+            "batch_id", F.lit(b)
+        )
+        (
+            out.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id", "partition_id")
+            .parquet(output_dir)
+        )
+        tio.snapshot_commit(output_dir, run_id, [b])
+
+    writer = (
+        extracted.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def streaming_method_counts(
     spark: SparkSession,
     input_dir: str,

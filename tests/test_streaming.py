@@ -43,7 +43,84 @@ def test_stream_extract_availablenow(spark, tmpdir_path):
     assert final.filter("doc_id like 'extra-%'").count() == 5
 
 
-def test_watermarked_window_late_data(spark, tmpdir_path):
+def test_stream_extract_committed_snapshots(spark, tmpdir_path):
+    """Streaming ingest with snapshot commits (r4): every micro-batch is
+    one snapshot; restarts neither duplicate data nor re-commit snapshots;
+    time-travel and incremental reads work over the batch dimension; a
+    replayed batch id is skipped (crash-after-commit) or idempotently
+    rewritten (crash-before-commit)."""
+    from ocr_toolkit_spark import io as tio
+    from ocr_toolkit_spark.streaming.stream_extract import (
+        stream_extract_committed,
+    )
+
+    docs = generate_documents(80, 42)
+    in_dir = os.path.join(tmpdir_path, "in")
+    os.makedirs(in_dir)
+    half = len(docs) // 2
+    pq.write_table(to_arrow(docs[:half]), os.path.join(in_dir, "a.parquet"))
+    pq.write_table(to_arrow(docs[half:]), os.path.join(in_dir, "b.parquet"))
+
+    out = os.path.join(tmpdir_path, "out")
+    ckpt = os.path.join(tmpdir_path, "ckpt")
+    # one file per trigger → one snapshot per file
+    q = stream_extract_committed(spark, in_dir, out, ckpt,
+                                 max_files_per_trigger=1)
+    q.awaitTermination(600)
+
+    snaps = tio.snapshots(out)
+    assert len(snaps) == 2
+    assert all(s["run_id"].startswith("stream-")
+               and s["run_id"].endswith(f"batch-{i}")
+               for i, s in enumerate(snaps))
+    table = spark.read.parquet(out)
+    assert table.count() == len(docs)
+    assert table.select("doc_id").distinct().count() == len(docs)
+
+    # time travel over the batch dimension: snapshot 1 = first batch only
+    at1 = tio.read_extracted_as_of(spark, out, 1, partition_col="batch_id")
+    assert 0 < at1.count() < len(docs)
+    assert at1.select("batch_id").distinct().collect()[0][0] == 0
+
+    # restart, nothing new: no new snapshots, no duplicates
+    q2 = stream_extract_committed(spark, in_dir, out, ckpt,
+                                  max_files_per_trigger=1)
+    q2.awaitTermination(600)
+    assert len(tio.snapshots(out)) == 2
+    assert spark.read.parquet(out).count() == len(docs)
+
+    # new file lands → exactly one more snapshot, incremental read sees
+    # only the new batch
+    extra = [(f"extra-{i}", [{"kind": "text", "text": f"new doc {i}",
+                              "media_ref": "", "offset": 0}])
+             for i in range(5)]
+    pq.write_table(to_arrow(extra), os.path.join(in_dir, "c.parquet"))
+    q3 = stream_extract_committed(spark, in_dir, out, ckpt,
+                                  max_files_per_trigger=1)
+    q3.awaitTermination(600)
+    assert len(tio.snapshots(out)) == 3
+    inc = tio.read_extracted_changes(spark, out, 2, 3,
+                                     partition_col="batch_id")
+    assert inc.count() == 5
+    assert inc.filter("doc_id like 'extra-%'").count() == 5
+
+    # stream-identity guard: a FRESH checkpoint pointed at this table
+    # restarts batch ids at 0, which a different identity already owns —
+    # the sink must fail loudly instead of silently skipping or
+    # clobbering committed batches
+    before = spark.read.parquet(out).count()
+    tip = tio.latest_snapshot_id(out)
+    assert str(0) in tio.partitions_as_of(out, tip)  # batch 0 committed
+    ckpt2 = os.path.join(tmpdir_path, "ckpt2")
+    q4 = stream_extract_committed(spark, in_dir, out, ckpt2,
+                                  max_files_per_trigger=None)
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException, match="already committed"):
+        q4.awaitTermination(600)
+    assert len(tio.snapshots(out)) == 3  # nothing re-committed
+    assert spark.read.parquet(out).count() == before
     """Watermark semantics, exactly: a window finalizes (appends) once the
     watermark passes its end; late rows WITHIN the watermark still count;
     rows later than the watermark are dropped."""
