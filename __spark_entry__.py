@@ -638,6 +638,29 @@ def q_stats_moments(spark, sf_dir):
     )
 
 
+def q_window_rank(spark, sf_dir):
+    """Ranking-window breadth (r4): rank / dense_rank / percent_rank /
+    cume_dist / ntile / lead / lag over per-customer order totals, all in
+    ONE window spec → one o_custkey exchange feeds every function."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.lead("o_totalprice").over(w), 4).alias("next_price"),
+        F.round(F.lag("o_totalprice").over(w), 4).alias("prev_price"),
+    )
+
+
 def q_window_range(spark, sf_dir):
     """RANGE-framed window (time-based moving sum over the trailing hour)
     — the value-based frame variant of window_running's ROWS frame. Both
@@ -886,6 +909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_trunc": q_date_trunc,
         "percentiles": q_percentiles,
         "stats_moments": q_stats_moments,
+        "window_rank": q_window_rank,
         "window_range": q_window_range,
         "json_extract": q_json_extract,
         "window_running": q_window_running,
@@ -1310,6 +1334,20 @@ def oracle_sql() -> dict[str, str]:
                    floor(quantile_cont(n_chars, 0.9)  * 10000 + 0.5) / 10000.0 AS p90,
                    max(n_chars) AS max_chars
             FROM documents GROUP BY lang
+        """,
+        "window_rank": """
+            SELECT o_orderkey, o_custkey,
+                   rank() OVER w AS rnk,
+                   dense_rank() OVER w AS drnk,
+                   round(percent_rank() OVER w, 6) AS prnk,
+                   round(cume_dist() OVER w, 6) AS cdist,
+                   ntile(4) OVER w AS quartile,
+                   round(lead(o_totalprice) OVER w, 4) AS next_price,
+                   round(lag(o_totalprice) OVER w, 4) AS prev_price
+            FROM orders
+            WHERE o_custkey < 50
+            WINDOW w AS (PARTITION BY o_custkey
+                         ORDER BY o_totalprice DESC, o_orderkey ASC)
         """,
         "window_range": """
             SELECT user_id, event_id,
