@@ -56,6 +56,14 @@ def main(argv: list[str] | None = None) -> int:
                         "KEEP_LAST snapshots (checkpoint-safe; expired "
                         "ids become unreadable, like Iceberg "
                         "expireSnapshots) and exit")
+    p.add_argument("--compact", metavar="TABLE_PATH",
+                   help="rewrite every committed partition to one file "
+                        "each (Iceberg rewriteDataFiles analog; row "
+                        "content unchanged, new snapshot appended) and "
+                        "exit")
+    p.add_argument("--table-report", metavar="TABLE_PATH",
+                   help="print per-partition file/byte layout + snapshot "
+                        "depth and exit (no Spark job)")
     p.add_argument("--input", help="documents parquet path")
     p.add_argument("--output", help="extracted output path")
     p.add_argument("--lineage", help="lineage table path")
@@ -104,10 +112,30 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"expired": expired,
                           "tip": tio.latest_snapshot_id(table)}))
         return 0
+    if args.table_report:
+        from ocr_toolkit_spark import io as tio
+
+        rep = tio.table_report(args.table_report)
+        rep.pop("by_partition")  # totals only on the CLI
+        print(json.dumps(rep))
+        return 0
+    if args.compact:
+        import uuid as _uuid
+
+        from ocr_toolkit_spark import io as tio
+        from ocr_toolkit_spark.session import get_spark
+
+        spark = get_spark(app_name="ocr-compact", master=args.master)
+        res = tio.compact_extracted(
+            spark, args.compact,
+            run_id=f"compact-{_uuid.uuid4().hex[:8]}")
+        print(json.dumps(res))
+        spark.stop()
+        return 0
     if not (args.input and args.output and args.lineage):
         p.error("--input, --output and --lineage are required "
-                "(unless using --list-formats, --list-snapshots or "
-                "--expire-snapshots)")
+                "(unless using --list-formats, --list-snapshots, "
+                "--expire-snapshots, --compact or --table-report)")
 
     from ocr_toolkit_spark.pipeline import extraction_stats, run_extraction
     from ocr_toolkit_spark.session import get_spark

@@ -368,6 +368,99 @@ def expire_snapshots(table_path: str, keep_last: int) -> list[int]:
     return expired
 
 
+def compact_extracted(
+    spark: SparkSession,
+    path: str,
+    run_id: str,
+    partition_ids: list[int] | None = None,
+    files_per_partition: int = 1,
+) -> dict:
+    """Small-file compaction — the Iceberg `rewriteDataFiles` analog and
+    the 100-TB answer to streaming/many-task writes that leave partitions
+    with hundreds of tiny parquet files (each file costs a task + a
+    footer read at scan time; the optimal file is 100 MB–1 GB).
+
+    Rewrites the given partitions (default: every partition committed as
+    of the latest snapshot) into `files_per_partition` files each via
+    repartition on the partition column + dynamic overwrite, then commits
+    a snapshot claiming the rewritten partitions for `run_id`. Row content
+    is IDENTICAL before and after, so earlier snapshots' time-travel
+    reads still return the same rows — only the file layout changed (the
+    Parquet-emulation honesty note: real Iceberg would keep the old files
+    for old snapshots; here old snapshots see the same rows in new
+    files). Returns {partitions, files_before, files_after}.
+    """
+    tip = latest_snapshot_id(path)
+    if partition_ids is None:
+        if not tip:
+            raise ValueError(f"no snapshots under {path}: nothing to compact")
+        partition_ids = sorted(int(p) for p in partitions_as_of(path, tip))
+    pids = [int(p) for p in partition_ids]
+
+    def count_files() -> int:
+        n = 0
+        for pid in pids:
+            pdir = os.path.join(path, f"partition_id={pid}")
+            if os.path.isdir(pdir):
+                n += sum(1 for f in os.listdir(pdir)
+                         if f.endswith(".parquet"))
+        return n
+
+    files_before = count_files()
+    df = spark.read.parquet(path).filter(
+        F.col("partition_id").isin(pids)
+    )
+    # one output file per (partition, slot): repartition on the partition
+    # column (+ a slot for files_per_partition > 1) so each task writes
+    # exactly one partition's file — no cross-partition file fragments
+    if files_per_partition == 1:
+        compacted = df.repartition(len(pids), "partition_id")
+    else:
+        compacted = df.withColumn(
+            "_slot", F.pmod(F.xxhash64("doc_id"), F.lit(files_per_partition))
+        ).repartition(
+            len(pids) * files_per_partition, "partition_id", "_slot"
+        ).drop("_slot")
+    write_extracted(compacted, path)
+    snapshot_commit(path, run_id, pids)
+    return {
+        "partitions": len(pids),
+        "files_before": files_before,
+        "files_after": count_files(),
+    }
+
+
+def table_report(path: str) -> dict:
+    """Driver-side maintenance report: per-partition file count + bytes,
+    totals, and snapshot-log depth — what an operator checks before
+    deciding to compact or expire. Pure filesystem walk, no Spark job."""
+    parts = {}
+    if os.path.isdir(path):
+        for name in sorted(os.listdir(path)):
+            if "=" not in name:
+                continue
+            pdir = os.path.join(path, name)
+            if not os.path.isdir(pdir):
+                continue
+            files = [f for f in os.listdir(pdir) if f.endswith(".parquet")]
+            parts[name] = {
+                "files": len(files),
+                "bytes": sum(
+                    os.path.getsize(os.path.join(pdir, f)) for f in files
+                ),
+            }
+    return {
+        "partitions": len(parts),
+        "total_files": sum(p["files"] for p in parts.values()),
+        "total_bytes": sum(p["bytes"] for p in parts.values()),
+        "max_files_per_partition": max(
+            (p["files"] for p in parts.values()), default=0
+        ),
+        "snapshots": latest_snapshot_id(path),
+        "by_partition": parts,
+    }
+
+
 def read_extracted_as_of(
     spark: SparkSession,
     path: str,

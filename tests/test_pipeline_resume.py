@@ -418,6 +418,51 @@ def test_incremental_read_and_snapshot_expiry(spark, tmpdir_path):
     assert tio.partitions_as_of(table, n + 1)["3"] == "post-expiry"
 
 
+def test_compaction_and_table_report(spark, tmpdir_path):
+    """compact_extracted (Iceberg rewriteDataFiles analog): collapses each
+    partition to one file, preserves every row byte-for-byte, appends a
+    snapshot, and leaves earlier snapshots' reads row-identical;
+    table_report reflects the layout before and after."""
+    corpus = os.path.join(tmpdir_path, "docs.parquet")
+    out = os.path.join(tmpdir_path, "out")
+    lineage = os.path.join(tmpdir_path, "lineage")
+    write_corpus(corpus, n_docs=300, seed=42)
+    run_extraction(spark, corpus, out, lineage, run_id="run-1",
+                   parallelism=16)
+
+    rep0 = tio.table_report(out)
+    assert rep0["partitions"] > 0 and rep0["snapshots"] == 1
+    before_rows = sorted(
+        (r["doc_id"], r["n_spans"], r["n_chars"], r["success"])
+        for r in tio.read_extracted(spark, out)
+        .select("doc_id", "n_spans", "n_chars", "success").collect())
+    at1_before = sorted(
+        r["doc_id"] for r in tio.read_extracted_as_of(spark, out, 1)
+        .select("doc_id").collect())
+
+    res = tio.compact_extracted(spark, out, run_id="compact-1")
+    assert res["files_after"] <= res["files_before"]
+    assert res["files_after"] == res["partitions"]  # one file each
+
+    rep1 = tio.table_report(out)
+    assert rep1["max_files_per_partition"] == 1
+    assert rep1["snapshots"] == 2
+    after_rows = sorted(
+        (r["doc_id"], r["n_spans"], r["n_chars"], r["success"])
+        for r in tio.read_extracted(spark, out)
+        .select("doc_id", "n_spans", "n_chars", "success").collect())
+    assert after_rows == before_rows
+    # pre-compaction snapshot still readable, same rows (emulation
+    # honesty: same content, new files)
+    at1_after = sorted(
+        r["doc_id"] for r in tio.read_extracted_as_of(spark, out, 1)
+        .select("doc_id").collect())
+    assert at1_after == at1_before
+    # resume after compaction: everything still committed → no-op
+    stats = run_extraction(spark, corpus, out, lineage, run_id="post")
+    assert stats.partitions_processed == 0
+
+
 def test_snapshot_log_random_run_sequences(tmpdir_path):
     """Property: for ANY sequence of commits (random partition subsets,
     overlapping owners), the latest snapshot's mapping equals the
