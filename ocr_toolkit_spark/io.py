@@ -374,6 +374,7 @@ def compact_extracted(
     run_id: str,
     partition_ids: list[int] | None = None,
     files_per_partition: int = 1,
+    sort_cols: tuple[str, ...] = ("doc_id",),
 ) -> dict:
     """Small-file compaction — the Iceberg `rewriteDataFiles` analog and
     the 100-TB answer to streaming/many-task writes that leave partitions
@@ -389,6 +390,12 @@ def compact_extracted(
     Parquet-emulation honesty note: real Iceberg would keep the old files
     for old snapshots; here old snapshots see the same rows in new
     files). Returns {partitions, files_before, files_after}.
+
+    `sort_cols` (default `("doc_id",)`) sorts rows WITHIN each output
+    file — the Iceberg sort-order-rewrite analog: parquet row-group
+    min/max statistics on the sort key become tight, so point lookups and
+    range scans on it prune row groups instead of reading whole files.
+    Pass `()` to skip sorting.
     """
     tip = latest_snapshot_id(path)
     if partition_ids is None:
@@ -421,6 +428,8 @@ def compact_extracted(
         ).repartition(
             len(pids) * files_per_partition, "partition_id", "_slot"
         ).drop("_slot")
+    if sort_cols:
+        compacted = compacted.sortWithinPartitions("partition_id", *sort_cols)
     write_extracted(compacted, path)
     snapshot_commit(path, run_id, pids)
     return {

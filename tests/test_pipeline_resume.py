@@ -458,6 +458,27 @@ def test_compaction_and_table_report(spark, tmpdir_path):
         r["doc_id"] for r in tio.read_extracted_as_of(spark, out, 1)
         .select("doc_id").collect())
     assert at1_after == at1_before
+    # sort-order rewrite: rows inside each compacted file are doc_id-
+    # sorted, so the parquet column statistics on doc_id are tight
+    # (non-overlapping across row groups within a file)
+    import pyarrow.parquet as _pq
+
+    checked = 0
+    for name in os.listdir(out):
+        if not name.startswith("partition_id="):
+            continue
+        pdir = os.path.join(out, name)
+        for f in os.listdir(pdir):
+            if not f.endswith(".parquet"):
+                continue
+            pf = _pq.ParquetFile(os.path.join(pdir, f))
+            ids = pf.read(columns=["doc_id"])["doc_id"].to_pylist()
+            assert ids == sorted(ids), name
+            checked += 1
+        if checked >= 8:
+            break
+    assert checked > 0
+
     # resume after compaction: everything still committed → no-op
     stats = run_extraction(spark, corpus, out, lineage, run_id="post")
     assert stats.partitions_processed == 0
