@@ -725,10 +725,14 @@ def q_rollup_orders(spark, sf_dir):
 
 def q_extract_pipeline(spark, sf_dir):
     """The REAL extraction engine over spanified driver docs + quality of the
-    rendered output — not expressible in SQL (mapInArrow stage)."""
+    rendered output — not expressible in SQL (mapInArrow stage).
+    Stats-only consumer → metrics-only schema (include_spans=False): the
+    span structs are never read here, and Spark cannot column-prune
+    through the Python node (measured 1.8× at 1M docs)."""
     from ocr_toolkit_spark.operators.extract import extract_spans
 
-    extracted = extract_spans(_spanify(_docs(spark, sf_dir)))
+    extracted = extract_spans(_spanify(_docs(spark, sf_dir)),
+                              include_spans=False)
     return (
         extracted.groupBy("method")
         .agg(

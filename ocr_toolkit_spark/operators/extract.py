@@ -44,7 +44,7 @@ from pyspark.sql import DataFrame
 
 from ..functions.cells import format_cells
 from ..functions.html import extract_blocks
-from ..schema import EXTRACTED_PROFILE_SCHEMA, EXTRACTED_SCHEMA
+from ..schema import EXTRACTED_SCHEMA
 
 KNOWN_KINDS = ("text", "heading", "html", "image", "table_row", "page_break", "bytes")
 _MD_HEADER_RE = "^#{1,6} "
@@ -175,6 +175,7 @@ def _process_batch(
     pages: frozenset[int] | None = None,
     profile: bool = False,
     doc_budget_ms: float | None = None,
+    include_spans: bool = True,
 ) -> pa.RecordBatch:
     t0 = time.perf_counter()
     # Per-document time budget (E-series poison-pill containment; the
@@ -681,6 +682,13 @@ def _process_batch(
         pa.array(np.full(n_docs, elapsed), pa.float64()),
     ]
     names = list(_OUT_FIELD_NAMES)
+    if not include_spans:
+        # metrics-only contract (schema.EXTRACTED_STATS_SCHEMA): the span
+        # assembly above is cheap Arrow work and n_chars needs the final
+        # texts anyway; what this saves is the JVM-side row conversion of
+        # the span structs — the dominant cost of stats-only consumers
+        i = names.index("out_spans")
+        del arrays[i], names[i]
     if profile:
         # batch-level section deltas, repeated per doc (documented in
         # schema.EXTRACTED_PROFILE_SCHEMA)
@@ -704,12 +712,14 @@ def make_extract_fn(
     pages: frozenset[int] | None = None,
     profile: bool = False,
     doc_budget_ms: float | None = None,
+    include_spans: bool = True,
 ) -> Callable[[Iterator[pa.RecordBatch]], Iterator[pa.RecordBatch]]:
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
             if batch.num_rows:
                 yield _process_batch(
-                    batch, with_images, pages, profile, doc_budget_ms
+                    batch, with_images, pages, profile, doc_budget_ms,
+                    include_spans,
                 )
 
     return fn
@@ -721,6 +731,7 @@ def extract_spans(
     pages: frozenset[int] | str | None = None,
     profile: bool = False,
     doc_budget_ms: float | None = None,
+    include_spans: bool = True,
 ) -> DataFrame:
     """documents(doc_id, spans) → extracted(...) via one mapInArrow stage.
 
@@ -731,6 +742,12 @@ def extract_spans(
     `profile=True` appends a `section_ms` map column with per-batch named
     kernel timings (A4, reference utils/profiling.py) — opt-in so the
     production schema is unchanged.
+
+    `include_spans=False` returns the metrics-only schema (no out_spans
+    column): Spark cannot column-prune through a Python map node, so
+    stats/QA consumers that never read the spans otherwise pay the full
+    Arrow→JVM row conversion of the span structs — measured 3.5× the
+    whole stats query at 1M docs (BENCH/BASELINE.md write-tax section).
 
     `doc_budget_ms`: per-document time budget for ALL per-doc Python
     kernels (HTML parse, sheet segmentation/stringify, hex/GBK bytes
@@ -743,7 +760,19 @@ def extract_spans(
         from ..functions.pages import parse_pages
 
         pages = parse_pages(pages)
+    from ..schema import EXTRACTED_STATS_SCHEMA
+    from pyspark.sql import types as T
+
+    base = EXTRACTED_SCHEMA if include_spans else EXTRACTED_STATS_SCHEMA
+    if profile:
+        base = T.StructType(
+            base.fields
+            + [T.StructField(
+                "section_ms",
+                T.MapType(T.StringType(), T.DoubleType()), False)]
+        )
     return df.select("doc_id", "spans").mapInArrow(
-        make_extract_fn(with_images, pages, profile, doc_budget_ms),
-        EXTRACTED_PROFILE_SCHEMA if profile else EXTRACTED_SCHEMA,
+        make_extract_fn(with_images, pages, profile, doc_budget_ms,
+                        include_spans),
+        base,
     )

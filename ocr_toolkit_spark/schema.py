@@ -64,6 +64,16 @@ EXTRACTED_SCHEMA = T.StructType(
 
 OUTPUT_KINDS = frozenset({"heading", "text", "table", "image"})
 
+# Metrics-only variant: EXTRACTED_SCHEMA without the out_spans column.
+# Spark cannot column-prune THROUGH a Python map node (the function's
+# return contract is the full schema, so the JVM row-converts every
+# returned column even if downstream reads none of them — measured 3.5×
+# the whole stats query at 1M docs, BENCH/BASELINE.md write-tax section).
+# Stats/QA consumers ask the kernel to not return spans at all.
+EXTRACTED_STATS_SCHEMA = T.StructType(
+    [f for f in EXTRACTED_SCHEMA.fields if f.name != "out_spans"]
+)
+
 # Driver `events` table shape (TESTDATA.md) — used by the streaming
 # watermark/windowed-aggregation leg.
 EVENTS_SCHEMA = T.StructType(

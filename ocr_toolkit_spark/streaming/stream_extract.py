@@ -148,8 +148,11 @@ def streaming_method_counts(
 ) -> tuple[StreamingQuery, str]:
     """Running per-method doc counts as an in-memory table — the streaming
     analog of the reference's ProcessingStats accumulator (stats.py:28-85).
-    Complete-mode aggregation; returns (query, table_name)."""
-    extracted = extract_spans(read_documents_stream(spark, input_dir))
+    Complete-mode aggregation; returns (query, table_name). Metrics-only
+    schema: the spans are never read, so they are never returned/converted
+    (include_spans=False, measured 1.8× at 1M docs)."""
+    extracted = extract_spans(read_documents_stream(spark, input_dir),
+                              include_spans=False)
     counts = extracted.groupBy("method").agg(
         F.count("*").alias("docs"),
         F.sum(F.col("success").cast("int")).alias("succeeded"),

@@ -85,6 +85,22 @@ def test_failure_containment(spark):
     assert by_id["h4"]["success"]  # null text → '' → heading-only doc
 
 
+def test_metrics_only_schema_matches_full_path():
+    """include_spans=False (stats fast path): identical rows minus the
+    out_spans column — every metric computed from the SAME span assembly,
+    just not returned/converted."""
+    docs = generate_documents(80, 42)
+    batch = to_arrow(docs).combine_chunks().to_batches()[0]
+    full = _process_batch(batch, True).to_pylist()
+    slim = _process_batch(batch, True, include_spans=False).to_pylist()
+    assert len(full) == len(slim)
+    for f, s in zip(full, slim):
+        assert "out_spans" not in s
+        for k in ("doc_id", "success", "error", "method", "n_spans",
+                  "n_chars"):
+            assert f[k] == s[k], (f["doc_id"], k)
+
+
 def test_doc_budget_contains_pathological_doc_without_poisoning_batch():
     """E-series per-doc TIME containment (the reference applies its
     per-file timeout to EVERY format, cli/benchmark.py:45): with a ~zero
