@@ -418,6 +418,46 @@ def test_incremental_read_and_snapshot_expiry(spark, tmpdir_path):
     assert tio.partitions_as_of(table, n + 1)["3"] == "post-expiry"
 
 
+def test_concurrent_snapshot_commits_all_land(tmpdir_path):
+    """os.link optimistic concurrency under REAL thread contention: 8
+    writers x 5 commits race on one table (crossing the CHECKPOINT_EVERY
+    boundary, so checkpoint folds race too). Every commit must land, ids
+    must be dense and parent-linked, and the final fold must equal the
+    log-order replay with per-partition ownership matching each
+    partition's last claiming commit."""
+    import threading
+
+    table = os.path.join(tmpdir_path, "racelog")
+    errs: list[Exception] = []
+
+    def worker(t: int) -> None:
+        try:
+            for i in range(5):
+                tio.snapshot_commit(table, f"t{t}-c{i}", [t, 15 - t])
+        except Exception as e:  # pragma: no cover - failure reporting
+            errs.append(e)
+
+    threads = [threading.Thread(target=worker, args=(t,)) for t in range(8)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs, errs
+    assert tio.latest_snapshot_id(table) == 40  # every commit landed
+    snaps = tio.snapshots(table)
+    assert [s["snapshot_id"] for s in snaps] == list(range(1, 41))
+    assert [s["parent_id"] for s in snaps] == [None, *range(1, 40)]
+    final = tio.partitions_as_of(table, 40)
+    replay: dict[str, str] = {}
+    for s in snaps:
+        replay.update(s["delta"])
+    assert final == replay
+    for p, owner in final.items():
+        last = max(s["snapshot_id"] for s in snaps if p in s["delta"])
+        assert owner == next(
+            s["run_id"] for s in snaps if s["snapshot_id"] == last)
+
+
 def test_compaction_and_table_report(spark, tmpdir_path):
     """compact_extracted (Iceberg rewriteDataFiles analog): collapses each
     partition to one file, preserves every row byte-for-byte, appends a
