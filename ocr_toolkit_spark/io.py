@@ -368,6 +368,26 @@ def expire_snapshots(table_path: str, keep_last: int) -> list[int]:
     return expired
 
 
+def detect_partition_col(path: str) -> str:
+    """Inspect the table's top-level `key=` directories and return the
+    physical partition column ("partition_id" for batch-pipeline tables,
+    "batch_id" for streaming-committed tables). Raises on a mixed or
+    unrecognized layout rather than guessing."""
+    keys = set()
+    if os.path.isdir(path):
+        for name in os.listdir(path):
+            if "=" in name and os.path.isdir(os.path.join(path, name)):
+                keys.add(name.split("=", 1)[0])
+    if not keys:
+        return "partition_id"  # empty/new table: batch-pipeline default
+    if len(keys) > 1:
+        raise ValueError(
+            f"mixed partition layouts {sorted(keys)} under {path}; "
+            "compact/report cannot pick a partition column"
+        )
+    return keys.pop()
+
+
 def compact_extracted(
     spark: SparkSession,
     path: str,
@@ -375,6 +395,7 @@ def compact_extracted(
     partition_ids: list[int] | None = None,
     files_per_partition: int = 1,
     sort_cols: tuple[str, ...] = ("doc_id",),
+    partition_col: str | None = None,
 ) -> dict:
     """Small-file compaction — the Iceberg `rewriteDataFiles` analog and
     the 100-TB answer to streaming/many-task writes that leave partitions
@@ -396,44 +417,73 @@ def compact_extracted(
     min/max statistics on the sort key become tight, so point lookups and
     range scans on it prune row groups instead of reading whole files.
     Pass `()` to skip sorting.
+
+    `partition_col` defaults to auto-detect from the physical layout:
+    "partition_id" for batch-pipeline tables, "batch_id" for
+    stream_extract_committed tables. Streaming (batch_id) tables have TWO
+    extra rules, both enforced: (1) the rewrite must cover EVERY committed
+    batch — the nested `batch_id=N/partition_id=M` layout is flattened to
+    `batch_id=N/` files (partition_id becomes a stored column), and a
+    partial rewrite would leave conflicting directory structures that
+    break parquet partition discovery; (2) compact only a QUIESCED stream:
+    the rewritten batch ids are re-claimed under this `run_id`, so a
+    crashed in-flight batch replayed after compaction fails loudly on the
+    sink's identity guard instead of clobbering rewritten files.
     """
+    if partition_col is None:
+        partition_col = detect_partition_col(path)
     tip = latest_snapshot_id(path)
     if partition_ids is None:
         if not tip:
             raise ValueError(f"no snapshots under {path}: nothing to compact")
         partition_ids = sorted(int(p) for p in partitions_as_of(path, tip))
     pids = [int(p) for p in partition_ids]
+    if partition_col != "partition_id":
+        committed = {int(p) for p in partitions_as_of(path, tip)} if tip else set()
+        if committed - set(pids):
+            raise ValueError(
+                f"streaming table {path} is partitioned on {partition_col}; "
+                "compaction must rewrite ALL committed batches "
+                f"(missing: {sorted(committed - set(pids))}) — a partial "
+                "rewrite would mix flat and nested layouts under the same "
+                "root and break partition discovery"
+            )
 
     def count_files() -> int:
         n = 0
         for pid in pids:
-            pdir = os.path.join(path, f"partition_id={pid}")
-            if os.path.isdir(pdir):
-                n += sum(1 for f in os.listdir(pdir)
-                         if f.endswith(".parquet"))
+            pdir = os.path.join(path, f"{partition_col}={pid}")
+            for _root, _dirs, files in os.walk(pdir):
+                n += sum(1 for f in files if f.endswith(".parquet"))
         return n
 
     files_before = count_files()
     df = spark.read.parquet(path).filter(
-        F.col("partition_id").isin(pids)
+        F.col(partition_col).isin(pids)
     )
     # one output file per (partition, slot): repartition on the partition
     # column (+ a slot for files_per_partition > 1) so each task writes
     # exactly one partition's file — no cross-partition file fragments
     if files_per_partition == 1:
-        compacted = df.repartition(len(pids), "partition_id")
+        compacted = df.repartition(len(pids), partition_col)
     else:
         compacted = df.withColumn(
             "_slot", F.pmod(F.xxhash64("doc_id"), F.lit(files_per_partition))
         ).repartition(
-            len(pids) * files_per_partition, "partition_id", "_slot"
+            len(pids) * files_per_partition, partition_col, "_slot"
         ).drop("_slot")
     if sort_cols:
-        compacted = compacted.sortWithinPartitions("partition_id", *sort_cols)
-    write_extracted(compacted, path)
+        compacted = compacted.sortWithinPartitions(partition_col, *sort_cols)
+    (
+        compacted.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(path)
+    )
     snapshot_commit(path, run_id, pids)
     return {
         "partitions": len(pids),
+        "partition_col": partition_col,
         "files_before": files_before,
         "files_after": count_files(),
     }
@@ -451,13 +501,15 @@ def table_report(path: str) -> dict:
             pdir = os.path.join(path, name)
             if not os.path.isdir(pdir):
                 continue
-            files = [f for f in os.listdir(pdir) if f.endswith(".parquet")]
-            parts[name] = {
-                "files": len(files),
-                "bytes": sum(
-                    os.path.getsize(os.path.join(pdir, f)) for f in files
-                ),
-            }
+            # recursive walk: streaming tables nest batch_id=N/partition_id=M,
+            # and exactly those are the most prone to small-file buildup
+            n_files, n_bytes = 0, 0
+            for root, _dirs, files in os.walk(pdir):
+                for f in files:
+                    if f.endswith(".parquet"):
+                        n_files += 1
+                        n_bytes += os.path.getsize(os.path.join(root, f))
+            parts[name] = {"files": n_files, "bytes": n_bytes}
     return {
         "partitions": len(parts),
         "total_files": sum(p["files"] for p in parts.values()),

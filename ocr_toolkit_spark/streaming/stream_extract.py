@@ -120,6 +120,17 @@ def stream_extract_committed(
                 "would clobber it — a fresh checkpoint must write to a "
                 "fresh table"
             )
+        # crash-after-data-write, before-commit replay: the first attempt's
+        # files exist but no snapshot owns them. Dynamic overwrite only
+        # replaces (batch_id, partition_id) pairs present in the NEW data,
+        # so a restart with a different n_buckets would leave the first
+        # attempt's extra bucket dirs in place → duplicate rows. Drop the
+        # whole uncommitted batch directory before rewriting.
+        import shutil
+
+        bdir = os.path.join(output_dir, f"batch_id={b}")
+        if os.path.isdir(bdir):
+            shutil.rmtree(bdir)
         out = with_partition_id(df, n_buckets).withColumn(
             "batch_id", F.lit(b)
         )

@@ -121,6 +121,80 @@ def test_stream_extract_committed_snapshots(spark, tmpdir_path):
         q4.awaitTermination(600)
     assert len(tio.snapshots(out)) == 3  # nothing re-committed
     assert spark.read.parquet(out).count() == before
+
+
+def test_streaming_table_compact_and_report(spark, tmpdir_path):
+    """Maintenance surface on the STREAMING layout (batch_id=N/partition_id=M):
+    table_report counts nested files (r4 reported 0), compact_extracted
+    auto-detects batch_id, flattens to one file per batch with identical
+    rows, refuses a partial rewrite, and a replayed uncommitted batch drops
+    its first attempt's stale bucket dirs before rewriting."""
+    import pytest
+
+    from ocr_toolkit_spark import io as tio
+    from ocr_toolkit_spark.streaming.stream_extract import (
+        stream_extract_committed,
+    )
+
+    docs = generate_documents(60, 7)
+    in_dir = os.path.join(tmpdir_path, "in")
+    os.makedirs(in_dir)
+    half = len(docs) // 2
+    pq.write_table(to_arrow(docs[:half]), os.path.join(in_dir, "a.parquet"))
+    pq.write_table(to_arrow(docs[half:]), os.path.join(in_dir, "b.parquet"))
+
+    out = os.path.join(tmpdir_path, "out")
+    ckpt = os.path.join(tmpdir_path, "ckpt")
+
+    # crash-before-commit simulation: batch 0's first attempt left files
+    # under a bucket id the retry (different n_buckets) would never
+    # overwrite — the sink must rmtree the uncommitted batch dir first
+    stale = os.path.join(out, "batch_id=0", "partition_id=999")
+    os.makedirs(stale)
+    with open(os.path.join(stale, "stale.parquet"), "w") as f:
+        f.write("not parquet")
+
+    q = stream_extract_committed(spark, in_dir, out, ckpt,
+                                 max_files_per_trigger=1, n_buckets=4)
+    q.awaitTermination(600)
+    assert not os.path.exists(stale)  # first attempt's files dropped
+
+    assert tio.detect_partition_col(out) == "batch_id"
+    rep = tio.table_report(out)
+    assert rep["partitions"] == 2
+    assert rep["total_files"] > 0 and rep["total_bytes"] > 0  # nested walk
+
+    before = sorted(
+        (r["doc_id"], r["n_spans"], r["batch_id"], r["partition_id"])
+        for r in spark.read.parquet(out)
+        .select("doc_id", "n_spans", "batch_id", "partition_id").collect())
+
+    # partial rewrite of a streaming table must refuse (layout conflict)
+    with pytest.raises(ValueError, match="ALL committed batches"):
+        tio.compact_extracted(spark, out, run_id="compact-bad",
+                              partition_ids=[0])
+
+    res = tio.compact_extracted(spark, out, run_id="compact-s")
+    assert res["partition_col"] == "batch_id"
+    assert res["files_after"] == res["partitions"] == 2
+    assert res["files_before"] > res["files_after"]
+
+    after = sorted(
+        (r["doc_id"], r["n_spans"], r["batch_id"], r["partition_id"])
+        for r in spark.read.parquet(out)
+        .select("doc_id", "n_spans", "batch_id", "partition_id").collect())
+    assert after == before  # rows identical; partition_id now stored
+    # flattened: no nested partition_id= dirs remain
+    for name in os.listdir(out):
+        if name.startswith("batch_id="):
+            inner = os.listdir(os.path.join(out, name))
+            assert not any(i.startswith("partition_id=") for i in inner)
+    # time travel over the batch dimension still works post-compaction
+    at1 = tio.read_extracted_as_of(spark, out, 1, partition_col="batch_id")
+    assert at1.count() == len(docs) // 2
+
+
+def test_watermarked_window_late_data(spark, tmpdir_path):
     """Watermark semantics, exactly: a window finalizes (appends) once the
     watermark passes its end; late rows WITHIN the watermark still count;
     rows later than the watermark are dropped."""
