@@ -745,6 +745,33 @@ def q_extract_pipeline(spark, sf_dir):
     )
 
 
+def q_extract_counts(spark, sf_dir):
+    """The extraction flagship's ORACLE-CHECKABLE slice (r4 verdict #1): the
+    REAL mapInArrow engine over the text/markdown/paged routes of the
+    spanified driver docs (doc_id % 5 IN (0,1,4) — the routes whose
+    semantics are SQL-expressible), aggregated per method. The DuckDB twin
+    independently recomputes content-sniff dispatch, the `# {doc_id}` wrap
+    rule (reference text_file_processor.py:104-122), block normalization
+    (openocr_doc_handler.py:255-257), and `## Page n` emission
+    (openocr_doc_handler.py:219,276) from the raw documents table, so a
+    hash match pins the kernel's per-doc span/char output against a second
+    engine. html/sheet routes stay under the pytest golden/fuzz suites."""
+    from ocr_toolkit_spark.operators.extract import extract_spans
+
+    docs = _docs(spark, sf_dir).filter((F.col("doc_id") % 5).isin(0, 1, 4))
+    extracted = extract_spans(_spanify(docs), include_spans=False)
+    return (
+        extracted.groupBy("method")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum(F.col("success").cast("int")).alias("succeeded"),
+            F.sum("n_spans").alias("spans"),
+            F.sum("n_chars").alias("chars"),
+        )
+        .orderBy("method")
+    )
+
+
 def q_minhash_dedup(spark, sf_dir):
     """Self-validating (r3 verdict #1): every emitted pair's Jaccard is
     recomputed from TEXT by the verify stage, so the output carries the
@@ -862,10 +889,14 @@ def q_embedding_near_dups(spark, sf_dir):
 
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing: binary payloads → Arrow-batched feature stage
-    (decode stubbed — no codecs in this container)."""
+    (decode stubbed — no codecs in this container). Oracle-checked (r4
+    verdict #3): the deterministic doc_id<200 slice replaces limit(200), and
+    min/max sha256 pin the stage's actual digest values (not just counts)
+    against DuckDB's sha256() over the same UTF-8 payload bytes. The stub
+    feature vector stays out of the hash (environment-limited codec)."""
     from ocr_toolkit_spark.operators.multimodal import extract_media_features
 
-    d = _docs(spark, sf_dir).limit(200)
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
     media = d.select(
         F.concat(F.lit("m_"), F.col("doc_id").cast("string")).alias("media_ref"),
         F.when(F.col("doc_id") % 2 == 0, "image").otherwise("audio").alias(
@@ -874,10 +905,16 @@ def q_media_features(spark, sf_dir):
         F.encode("text", "utf-8").alias("payload"),
     )
     feats = extract_media_features(media, use_stub=True)
-    return feats.groupBy("media_type").agg(
-        F.count("*").alias("n_items"),
-        F.sum("n_bytes").alias("total_bytes"),
-        F.countDistinct("sha256").alias("distinct_payloads"),
+    return (
+        feats.groupBy("media_type")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.countDistinct("sha256").alias("distinct_payloads"),
+            F.min("sha256").alias("min_sha"),
+            F.max("sha256").alias("max_sha"),
+        )
+        .orderBy("media_type")
     )
 
 
@@ -918,6 +955,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract": q_json_extract,
         "window_running": q_window_running,
         "rollup_orders": q_rollup_orders,
+        "extract_counts": q_extract_counts,
+        "media_features": q_media_features,
         # rows-only (no SQL equivalent):
         "extract_pipeline": q_extract_pipeline,
         "minhash_dedup": q_minhash_dedup,
@@ -927,7 +966,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_qa": q_corpus_qa,
         "approx_quantiles": q_approx_quantiles,
         "embedding_near_dups": q_embedding_near_dups,
-        "media_features": q_media_features,
     }
 
 
@@ -1033,6 +1071,74 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY lang
         """,
         "quality_scores": _QUALITY_SQL,
+        "media_features": """
+            SELECT CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END
+                     AS media_type,
+                   count(*) AS n_items,
+                   CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
+                   count(DISTINCT sha256(text)) AS distinct_payloads,
+                   min(sha256(text)) AS min_sha,
+                   max(sha256(text)) AS max_sha
+            FROM documents WHERE doc_id < 200
+            GROUP BY 1 ORDER BY media_type
+        """,
+        # independent re-derivation of SPANS.md §1/§2.1/§3.1/§3.2/§3.4 for the
+        # spanified driver docs' SQL-expressible routes (doc_id%5 in 0,1,4):
+        # dispatch on the stripped first span, '# {doc_id}' wrap + block strip
+        # for text, heading/text classification for markdown, and per-page
+        # '## Page n' emission (pages of 40/rest chars) for paged.
+        "extract_counts": _expand_f1("""
+            WITH base AS (
+              SELECT doc_id, CAST(doc_id AS VARCHAR) AS did, text,
+                     CAST(doc_id % 5 AS INT) AS route
+              FROM documents WHERE doc_id % 5 IN (0, 1, 4)),
+            r01 AS (  -- routes 0/1: ONE text span (route 1 prefixes '# ')
+              SELECT doc_id, did,
+                COALESCE(CASE WHEN route = 1 THEN '# ' || text
+                              ELSE text END, '') AS sp
+              FROM base WHERE route IN (0, 1)),
+            r01c AS (
+              SELECT doc_id, did, trim(sp, '{PYWS}') AS st,
+                trim(replace(replace(replace(sp, '](imgs/', '](media/'),
+                     'src="imgs/', 'src="media/'), 'src=''imgs/',
+                     'src=''media/'), '{PYWS}') AS tt
+              FROM r01),
+            r01out AS (
+              SELECT doc_id,
+                CASE WHEN st <> '' AND regexp_matches(st, '^#{1,6} ')
+                     THEN 'markdown' ELSE 'text' END AS method,
+                CASE WHEN st <> '' AND regexp_matches(st, '^#{1,6} ')
+                     THEN 1
+                     ELSE 1 + (CASE WHEN tt <> '' THEN 1 ELSE 0 END)
+                END AS n_spans,
+                CASE WHEN st <> '' AND regexp_matches(st, '^#{1,6} ')
+                     THEN length(tt)
+                     ELSE 2 + length(did) + length(tt)
+                END AS n_chars
+              FROM r01c),
+            r4 AS (  -- route 4: pages split at char 40 by a page_break span
+              SELECT doc_id,
+                trim(replace(replace(replace(substr(COALESCE(text, ''), 1, 40),
+                     '](imgs/', '](media/'), 'src="imgs/', 'src="media/'),
+                     'src=''imgs/', 'src=''media/'), '{PYWS}') AS t1,
+                trim(replace(replace(replace(substr(COALESCE(text, ''), 41, 10000),
+                     '](imgs/', '](media/'), 'src="imgs/', 'src="media/'),
+                     'src=''imgs/', 'src=''media/'), '{PYWS}') AS t2
+              FROM base WHERE route = 4),
+            r4out AS (  -- non-empty pages emit '## Page n' (9 chars) + block
+              SELECT doc_id, 'paged' AS method,
+                2 * (CASE WHEN t1 <> '' THEN 1 ELSE 0 END)
+                  + 2 * (CASE WHEN t2 <> '' THEN 1 ELSE 0 END) AS n_spans,
+                (CASE WHEN t1 <> '' THEN 9 + length(t1) ELSE 0 END)
+                  + (CASE WHEN t2 <> '' THEN 9 + length(t2) ELSE 0 END) AS n_chars
+              FROM r4),
+            per AS (SELECT * FROM r01out UNION ALL SELECT * FROM r4out)
+            SELECT method, count(*) AS docs,
+                   count(*) AS succeeded,
+                   CAST(sum(n_spans) AS BIGINT) AS spans,
+                   CAST(sum(n_chars) AS BIGINT) AS chars
+            FROM per GROUP BY method ORDER BY method
+        """),
         "method_selection": """
             SELECT CASE WHEN length(text) * (CASE WHEN source IN ('src0','src1') THEN 1.3 ELSE 1.0 END)
                           > n_chars * (CASE WHEN lang='zh' THEN 1.5 ELSE 1.1 END)
