@@ -806,6 +806,59 @@ def q_minhash_dedup(spark, sf_dir):
     ).crossJoin(caps)
 
 
+def q_delta_dedup(spark, sf_dir):
+    """Incremental (delta) near-dedup, SELF-VALIDATING (r4 verdict #2): the
+    driver docs split 80/20 into a base ingest and a delta ingest; the
+    delta round touches only new docs' signatures against the persisted
+    banded state (operators/incremental.py), and the output carries the
+    equivalence proof itself — pair_sym_diff and keep_sym_diff vs a full
+    re-run on the union corpus, both must be 0."""
+    import tempfile
+
+    from ocr_toolkit_spark.operators.cc import near_dedup_keep_first
+    from ocr_toolkit_spark.operators.dedup import (
+        jaccard_verify,
+        minhash_lsh_candidates,
+    )
+    from ocr_toolkit_spark.operators.incremental import incremental_dedup_round
+
+    d = _docs(spark, sf_dir)
+    base = d.filter(F.col("doc_id") % 10 < 8)
+    delta = d.filter(F.col("doc_id") % 10 >= 8)
+    state = tempfile.mkdtemp(prefix="delta_dedup_state_")
+    cfg = dict(k=5, n_hashes=32, bands=8, threshold=0.5)
+
+    p0 = incremental_dedup_round(spark, base, base, state, "base", **cfg)
+    p1 = incremental_dedup_round(spark, delta, d, state, "delta", **cfg)
+    inc_pairs = p0.unionByName(p1)
+    # rounds materialize their pairs, so the returned plan never reads the
+    # state dir — safe to drop the scratch state now
+    import shutil
+
+    shutil.rmtree(state, ignore_errors=True)
+
+    full_cand = minhash_lsh_candidates(d, k=5, n_hashes=32, bands=8)
+    full_pairs = jaccard_verify(full_cand, d, k=5, threshold=0.5)
+
+    ip = inc_pairs.select("id_a", "id_b")
+    fp = full_pairs.select("id_a", "id_b")
+    pair_sym = ip.exceptAll(fp).unionAll(fp.exceptAll(ip))
+    keep_inc = near_dedup_keep_first(d, inc_pairs).select("doc_id")
+    keep_full = near_dedup_keep_first(d, full_pairs).select("doc_id")
+    keep_sym = keep_inc.exceptAll(keep_full).unionAll(
+        keep_full.exceptAll(keep_inc)
+    )
+    return (
+        base.agg(F.count("*").alias("base_docs"))
+        .crossJoin(delta.agg(F.count("*").alias("delta_docs")))
+        .crossJoin(ip.agg(F.count("*").alias("inc_pairs")))
+        .crossJoin(fp.agg(F.count("*").alias("full_pairs")))
+        .crossJoin(pair_sym.agg(F.count("*").alias("pair_sym_diff")))
+        .crossJoin(keep_inc.agg(F.count("*").alias("keep_docs")))
+        .crossJoin(keep_sym.agg(F.count("*").alias("keep_sym_diff")))
+    )
+
+
 def q_simhash_dedup(spark, sf_dir):
     """Self-validating (r3 verdict #1): hamming is recomputed exactly via
     bit_count(xor) on full signatures, so the output carries the bound
@@ -960,6 +1013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only (no SQL equivalent):
         "extract_pipeline": q_extract_pipeline,
         "minhash_dedup": q_minhash_dedup,
+        "delta_dedup": q_delta_dedup,
         "simhash_dedup": q_simhash_dedup,
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,

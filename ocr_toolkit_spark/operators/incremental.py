@@ -1,0 +1,227 @@
+"""Incremental (delta) near-dedup — the 100-TB ingest shape.
+
+At web scale you never re-minhash the corpus per ingest. Instead the banded
+MinHash signature frame (id, band, band_hash) is PERSISTED as a
+snapshot-committed state table (one partition per ingest, same delta-log
+machinery as the extraction output — io.py); each ingest round:
+
+1. computes the banded frame for the NEW docs only (O(delta) signature
+   work — the expensive shingle/hash pipeline never re-touches old docs);
+2. broadcast-semi-joins the state table to the new docs' bucket keys, so
+   only state rows in TOUCHED buckets flow further (the state side is
+   scanned narrow — three columns — but never shuffled: the new side's
+   distinct bucket keys are broadcast);
+3. emits candidate pairs new×(old ∪ new) within each touched bucket,
+   with the same oversized-bucket star guard as the batch path
+   (operators/skew.py), then Jaccard-verifies ONLY those candidates
+   (jaccard_verify semi-joins the corpus to candidate ids, so text is
+   read for candidate docs only);
+4. appends the new banded rows as the next ingest partition + snapshot.
+
+Equivalence contract (pinned by tests/test_incremental_dedup.py):
+
+- With no bucket over `max_bucket`, the UNION of per-round delta pairs
+  equals the full-corpus re-run's pair set exactly — each unordered pair
+  {a, b} is emitted by exactly the round that ingested max(a, b).
+- When the star guard fires, pair SETS legitimately diverge (an earlier
+  round may have all-paired a bucket that only later grew oversized — a
+  superset of the full re-run's star edges), but connectivity is
+  preserved: the bucket's representative is min(id), old reps are stable
+  under append (new ids never lower an old bucket's min — and when backfill
+  DOES introduce a smaller id, the rep↔old-rep bridge pair reconnects the
+  rounds), so keep-sets after connected components match the batch
+  composition's documented higher-recall-under-capping boundary
+  (cc.full_near_dedup_keep_first).
+
+Config consistency is enforced loudly: the state table stores its
+(k, n_hashes, bands) in `_dedup_meta.json`; a round with different
+parameters raises instead of silently mixing incomparable signatures.
+
+Reference analog: the reference's only incremental behavior is the
+output-directory skip (file_discovery.py:112-114); this module is the
+engine's superseding production shape over the same idea — never redo
+work already committed.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import io as tio
+from .dedup import jaccard_verify, minhash_banded_frame
+from .skew import DEFAULT_MAX_BUCKET, materialize
+
+META_FILE = "_dedup_meta.json"
+
+
+def _meta_path(state_path: str) -> str:
+    return os.path.join(state_path, META_FILE)
+
+
+def signature_state_meta(state_path: str) -> dict | None:
+    try:
+        with open(_meta_path(state_path)) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return None
+
+
+def _check_or_write_meta(state_path: str, cfg: dict) -> None:
+    existing = signature_state_meta(state_path)
+    if existing is None:
+        os.makedirs(state_path, exist_ok=True)
+        with open(_meta_path(state_path), "w") as f:
+            json.dump(cfg, f)
+        return
+    if existing != cfg:
+        raise ValueError(
+            f"signature state at {state_path} was built with {existing}; "
+            f"this round uses {cfg} — MinHash signatures under different "
+            "(k, n_hashes, bands) are incomparable. Rebuild the state or "
+            "match the config."
+        )
+
+
+def read_signature_state(spark: SparkSession, state_path: str) -> DataFrame | None:
+    """(id, band, band_hash, ingest_id) for every committed ingest, or None
+    before the first round."""
+    if tio.latest_snapshot_id(state_path) == 0:
+        return None
+    return spark.read.parquet(state_path)
+
+
+def append_signatures(banded: DataFrame, state_path: str, run_id: str) -> int:
+    """Commit a round's banded frame as the next ingest partition. Returns
+    the ingest id. Same write-once + snapshot-commit discipline as the
+    extraction table, so crash/retry replaces rather than duplicates and
+    downstream incremental consumers can diff rounds with
+    io.read_extracted_changes(partition_col='ingest_id')."""
+    tip = tio.latest_snapshot_id(state_path)
+    nxt = (
+        max(int(p) for p in tio.partitions_as_of(state_path, tip)) + 1
+        if tip
+        else 0
+    )
+    (
+        banded.select("id", "band", "band_hash")
+        .withColumn("ingest_id", F.lit(nxt))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest_id")
+        .parquet(state_path)
+    )
+    tio.snapshot_commit(state_path, run_id, [nxt])
+    return nxt
+
+
+def delta_candidate_pairs(
+    new_banded: DataFrame,
+    state_banded: DataFrame | None,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
+    materialize_frames: bool = True,
+) -> DataFrame:
+    """Candidate pairs touching at least one NEW doc: new×(old ∪ new)
+    within each bucket, star-capped like the batch path.
+
+    Shuffle shape: the state table is reduced to touched buckets by a
+    broadcast left-semi join on the new side's distinct bucket keys (the
+    delta is small by definition), so the per-round join cost is
+    O(touched-bucket rows × new rows per bucket), never O(state²) and
+    never a state-table shuffle. With an empty state this degenerates to
+    exactly star_capped_pairs over the new frame (round 0 == batch run)."""
+    if materialize_frames:
+        new_banded = materialize(new_banded)
+    new_t = new_banded.select(
+        "id", "band", "band_hash", F.lit(True).alias("_new")
+    )
+    if state_banded is None:
+        allb = new_t
+    else:
+        new_buckets = new_banded.select("band", "band_hash").distinct()
+        touched_old = state_banded.join(
+            F.broadcast(new_buckets), ["band", "band_hash"], "left_semi"
+        )
+        allb = touched_old.select(
+            "id", "band", "band_hash", F.lit(False).alias("_new")
+        ).unionByName(new_t)
+    if materialize_frames:
+        allb = materialize(allb)
+
+    stats = allb.groupBy("band", "band_hash").agg(
+        F.count("*").alias("_n"),
+        F.min("id").alias("_rep"),
+        F.min(F.when(~F.col("_new"), F.col("id"))).alias("_old_rep"),
+    )
+    big = stats.filter(F.col("_n") > max_bucket)
+    if materialize_frames:
+        big = materialize(big)  # tiny; referenced three times below
+
+    big_keys = big.select("band", "band_hash")
+    small_all = allb.join(big_keys, ["band", "band_hash"], "left_anti")
+    small_new = small_all.filter("_new")
+    pairs_small = (
+        small_new.alias("n")
+        .join(small_all.alias("t"), ["band", "band_hash"])
+        .filter(F.col("t.id") != F.col("n.id"))
+        .select(
+            F.least(F.col("n.id"), F.col("t.id")).alias("id_a"),
+            F.greatest(F.col("n.id"), F.col("t.id")).alias("id_b"),
+        )
+    )
+    # oversized: each NEW member links to the bucket's min-id rep; when the
+    # rep itself is new (backfill with smaller ids), bridge it to the old
+    # rep so prior rounds' star/clique stays in the same component
+    big_members = allb.join(big, ["band", "band_hash"]).filter(
+        F.col("_new") & (F.col("id") != F.col("_rep"))
+    )
+    pairs_star = big_members.select(
+        F.col("_rep").alias("id_a"), F.col("id").alias("id_b")
+    )
+    bridges = big.filter(
+        F.col("_old_rep").isNotNull() & (F.col("_old_rep") != F.col("_rep"))
+    ).select(F.col("_rep").alias("id_a"), F.col("_old_rep").alias("id_b"))
+    return pairs_small.unionByName(pairs_star).unionByName(bridges).distinct()
+
+
+def incremental_dedup_round(
+    spark: SparkSession,
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    state_path: str,
+    run_id: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    n_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
+    commit: bool = True,
+) -> DataFrame:
+    """One ingest round: signatures for the new docs, delta candidates vs
+    state, exact Jaccard verification, state append. Returns the verified
+    delta pairs (id_a, id_b, jaccard) — every pair touches a new doc.
+
+    `corpus_df` must contain the texts of old + new docs (the union
+    table); verification semi-joins it down to candidate ids, so only
+    candidate texts are ever shingled. Set commit=False for a dry run
+    (state unchanged)."""
+    _check_or_write_meta(
+        state_path, {"k": k, "n_hashes": n_hashes, "bands": bands}
+    )
+    banded = minhash_banded_frame(
+        new_df, id_col, text_col, k=k, n_hashes=n_hashes, bands=bands
+    )
+    state = read_signature_state(spark, state_path)
+    cand = delta_candidate_pairs(banded, state, max_bucket=max_bucket)
+    pairs = jaccard_verify(
+        cand, corpus_df, id_col, text_col, k=k, threshold=threshold
+    )
+    pairs = materialize(pairs)  # compute before the state append mutates
+    if commit:
+        append_signatures(banded, state_path, run_id)
+    return pairs

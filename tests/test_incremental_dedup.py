@@ -1,0 +1,196 @@
+"""Incremental (delta) near-dedup: per-round delta passes over a persisted
+signature state must compose to the full-corpus re-run — pair-set equality
+when no bucket caps fire, keep-set equality under capping and backfill."""
+
+import os
+import random
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from ocr_toolkit_spark.operators.cc import near_dedup_keep_first
+from ocr_toolkit_spark.operators.dedup import (
+    jaccard_verify,
+    minhash_lsh_candidates,
+)
+from ocr_toolkit_spark.operators.incremental import (
+    append_signatures,
+    delta_candidate_pairs,
+    incremental_dedup_round,
+    read_signature_state,
+    signature_state_meta,
+)
+
+VOCAB = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+         "lambda mu nu xi omicron pi rho sigma tau upsilon").split()
+
+
+def _corpus(seed: int, n_base: int, n_exact: int, n_near: int,
+            start_id: int = 0, base_pool=None):
+    """(id, text) rows: fresh texts + exact copies + one-token-changed near
+    copies, drawing dup sources from `base_pool` (defaults to this batch's
+    fresh texts) so deltas can duplicate earlier rounds' docs."""
+    rng = random.Random(seed)
+    fresh = [" ".join(rng.choice(VOCAB) for _ in range(25)) + f" u{start_id + i}"
+             for i in range(n_base)]
+    pool = list(base_pool or []) + fresh
+    rows = [(start_id + i, fresh[i]) for i in range(n_base)]
+    nid = start_id + n_base
+    for _ in range(n_exact):
+        rows.append((nid, pool[rng.randrange(len(pool))])); nid += 1
+    for _ in range(n_near):
+        toks = pool[rng.randrange(len(pool))].split()
+        toks[rng.randrange(len(toks) - 1)] = rng.choice(VOCAB)
+        rows.append((nid, " ".join(toks))); nid += 1
+    return rows, fresh
+
+
+CFG = dict(k=3, n_hashes=32, bands=8, threshold=0.8)
+
+
+def _full_pairs(df, max_bucket=256):
+    cand = minhash_lsh_candidates(df, k=CFG["k"], n_hashes=CFG["n_hashes"],
+                                  bands=CFG["bands"], max_bucket=max_bucket)
+    return jaccard_verify(cand, df, k=CFG["k"], threshold=CFG["threshold"])
+
+
+def _pairset(pairs_df):
+    return {(r.id_a, r.id_b) for r in pairs_df.select("id_a", "id_b").collect()}
+
+
+def test_round_zero_equals_batch(spark, tmpdir_path):
+    """With an empty state, one incremental round IS the batch run: same
+    verified pair set, and the state afterwards holds one ingest."""
+    rows, _ = _corpus(101, 40, 20, 15)
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    state = os.path.join(tmpdir_path, "sigstate")
+
+    delta = incremental_dedup_round(spark, df, df, state, "r0", **CFG)
+    assert _pairset(delta) == _pairset(_full_pairs(df))
+    assert _pairset(delta)  # non-trivial corpus
+
+    st = read_signature_state(spark, state)
+    assert st.select("ingest_id").distinct().collect()[0][0] == 0
+    assert st.count() == len(rows) * CFG["bands"]
+
+
+def test_delta_rounds_union_equals_full_rerun(spark, tmpdir_path):
+    """THE contract (r4 verdict #2): three ingest rounds, each processing
+    only its new docs against the signature state, must union to exactly
+    the full re-run's pair set on the final corpus — and each round's
+    pairs touch at least one of that round's docs."""
+    r0, f0 = _corpus(7, 40, 15, 10, start_id=0)
+    r1, f1 = _corpus(8, 20, 10, 10, start_id=1000, base_pool=f0)
+    r2, _ = _corpus(9, 15, 8, 8, start_id=2000, base_pool=f0 + f1)
+    state = os.path.join(tmpdir_path, "sigstate")
+
+    union_rows, all_pairs = [], set()
+    for rnd, rows in enumerate((r0, r1, r2)):
+        union_rows += rows
+        corpus = spark.createDataFrame(union_rows, "doc_id int, text string")
+        new_df = spark.createDataFrame(rows, "doc_id int, text string")
+        delta = incremental_dedup_round(spark, new_df, corpus, state,
+                                        f"r{rnd}", **CFG)
+        dset = _pairset(delta)
+        new_ids = {r[0] for r in rows}
+        assert all(a in new_ids or b in new_ids for a, b in dset), \
+            "delta pair not touching a new doc"
+        all_pairs |= dset
+
+    full = _pairset(_full_pairs(
+        spark.createDataFrame(union_rows, "doc_id int, text string")))
+    assert all_pairs == full  # symmetric difference is empty
+    assert len(full) > 20  # engineered cross-round duplicates found
+
+
+def test_keep_set_matches_under_capping(spark, tmpdir_path):
+    """A bucket that crosses the star-cap boundary BETWEEN rounds: round 0
+    all-pairs it (under cap), round 1's growth caps it. Pair sets then
+    legitimately diverge (docstring contract), but connected-component
+    keep-sets must still match the full re-run."""
+    boiler = " ".join(VOCAB[:10])  # identical text → one hot bucket
+    r0 = [(i, boiler) for i in range(4)]
+    r1 = [(100 + i, boiler) for i in range(8)]
+    state = os.path.join(tmpdir_path, "sigstate")
+
+    df0 = spark.createDataFrame(r0, "doc_id int, text string")
+    p0 = incremental_dedup_round(spark, df0, df0, state, "r0",
+                                 max_bucket=5, **CFG)
+    union = spark.createDataFrame(r0 + r1, "doc_id int, text string")
+    df1 = spark.createDataFrame(r1, "doc_id int, text string")
+    p1 = incremental_dedup_round(spark, df1, union, state, "r1",
+                                 max_bucket=5, **CFG)
+
+    inc_pairs = spark.createDataFrame(
+        sorted(_pairset(p0) | _pairset(p1)), "id_a int, id_b int"
+    ).withColumn("jaccard", F.lit(1.0))
+    full = _full_pairs(union, max_bucket=5)
+    inc_keep = {r.doc_id for r in near_dedup_keep_first(union, inc_pairs).collect()}
+    full_keep = {r.doc_id for r in near_dedup_keep_first(union, full).collect()}
+    assert inc_keep == full_keep == {0}  # one component, min id kept
+
+
+def test_backfill_bridge_preserves_connectivity(spark, tmpdir_path):
+    """Backfill ingest with SMALLER ids than the state in an oversized
+    bucket: the new min-id becomes the bucket rep, and the rep↔old-rep
+    bridge pair must keep prior rounds' members in the same component."""
+    boiler = " ".join(VOCAB[10:])
+    r0 = [(100 + i, boiler) for i in range(8)]   # oversized at cap 5
+    r1 = [(i, boiler) for i in range(1, 4)]      # backfill: ids 1..3
+    state = os.path.join(tmpdir_path, "sigstate")
+
+    df0 = spark.createDataFrame(r0, "doc_id int, text string")
+    p0 = incremental_dedup_round(spark, df0, df0, state, "r0",
+                                 max_bucket=5, **CFG)
+    union = spark.createDataFrame(r0 + r1, "doc_id int, text string")
+    df1 = spark.createDataFrame(r1, "doc_id int, text string")
+    p1 = incremental_dedup_round(spark, df1, union, state, "r1",
+                                 max_bucket=5, **CFG)
+
+    pset = _pairset(p0) | _pairset(p1)
+    assert (1, 100) in pset  # the bridge edge
+    inc_pairs = spark.createDataFrame(
+        sorted(pset), "id_a int, id_b int").withColumn("jaccard", F.lit(1.0))
+    inc_keep = {r.doc_id for r in near_dedup_keep_first(union, inc_pairs).collect()}
+    full_keep = {r.doc_id for r in near_dedup_keep_first(
+        union, _full_pairs(union, max_bucket=5)).collect()}
+    assert inc_keep == full_keep == {1}
+
+
+def test_config_mismatch_raises(spark, tmpdir_path):
+    rows, _ = _corpus(11, 10, 0, 0)
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    state = os.path.join(tmpdir_path, "sigstate")
+    incremental_dedup_round(spark, df, df, state, "r0", **CFG)
+    assert signature_state_meta(state) == {"k": 3, "n_hashes": 32, "bands": 8}
+    with pytest.raises(ValueError, match="incomparable"):
+        incremental_dedup_round(spark, df, df, state, "r1", k=5,
+                                n_hashes=32, bands=8, threshold=0.8)
+
+
+def test_state_side_is_broadcast_semi_join(spark, tmpdir_path):
+    """Scale shape: the candidate plan must reduce the state table with a
+    broadcast LEFT-SEMI join on the delta's bucket keys — the state is
+    scanned (narrow) but NEVER shuffled, so per-round cost tracks the
+    delta size, not the corpus."""
+    from ocr_toolkit_spark.operators.dedup import minhash_banded_frame
+
+    rows, _ = _corpus(12, 30, 5, 5)
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    state = os.path.join(tmpdir_path, "sigstate")
+    banded = minhash_banded_frame(df, k=3, n_hashes=32, bands=8,
+                                  materialize_frame=False)
+    append_signatures(banded, state, "r0")
+
+    new_rows, _ = _corpus(13, 5, 0, 0, start_id=5000)
+    new_df = spark.createDataFrame(new_rows, "doc_id int, text string")
+    new_banded = minhash_banded_frame(new_df, k=3, n_hashes=32, bands=8,
+                                      materialize_frame=False)
+    cand = delta_candidate_pairs(
+        new_banded, read_signature_state(spark, state),
+        materialize_frames=False)
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    semi_lines = [ln for ln in plan.splitlines() if "LeftSemi" in ln]
+    assert any("Broadcast" in ln for ln in semi_lines)
