@@ -7,8 +7,19 @@ Headline workloads:
 2. The headline relational/training-data queries from __spark_entry__ over
    the driver tables at $SPARK_GRAFT_SF_DIR.
 
+Self-explaining output (r4 verdict #4): every workload is sampled in
+SWEEPS-many full passes over the whole suite, separated by a gap, with
+per-sample hypervisor steal%% from /proc/stat — so a VM wedge phase that
+inflates one sweep is visible IN the recorded JSON (the wedged samples
+carry their steal/outlier context) instead of contradicting a clean rerun.
+`queries` stays {name: best_seconds} for the driver; `detail` carries
+{name: {best, all, steal_pct}}.
+
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
-     SPARK_GRAFT_CPUS (default 32).
+     SPARK_GRAFT_CPUS (default 32),
+     SPARK_GRAFT_BENCH_SWEEPS (default 2) × SPARK_GRAFT_BENCH_RUNS
+     (default 2) samples per workload, SPARK_GRAFT_BENCH_GAP seconds
+     between sweeps (default 5).
 """
 
 from __future__ import annotations
@@ -18,7 +29,11 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
+sys.path.insert(0, os.path.join(_REPO, "BENCH"))
+
+from _measure import cpu_stat, steal_pct  # noqa: E402
 
 BENCH_QUERIES = [
     "tpch_q1",
@@ -81,21 +96,6 @@ def main() -> int:
         shuffle_partitions=cpus,
     )
 
-    timings: dict[str, float] = {}
-    # 3 runs (was 2): per-query best-of across runs — the VM's intermittent
-    # stall phases inflate RANDOM queries for minutes, so one extra sample
-    # materially improves the odds each query gets a clean measurement
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
-
-    def best_of(fn) -> float:
-        # steady-state: first run pays codegen/worker-pool spin-up; report min
-        times = []
-        for _ in range(runs):
-            t0 = time.time()
-            fn()
-            times.append(time.time() - t0)
-        return min(times)
-
     spark.range(1000).count()  # JVM warm-up
 
     # --- extraction pipeline ---------------------------------------------
@@ -114,12 +114,6 @@ def main() -> int:
             .agg({"n_chars": "sum", "n_spans": "sum", "doc_id": "count"})
             .collect()[0]
         )
-
-    t_extract = best_of(run_extract)
-    agg = agg_holder["agg"]
-    timings["extract"] = round(t_extract, 3)
-    docs_per_sec = n_docs / t_extract
-    mb_per_sec = corpus_bytes / 1e6 / t_extract
 
     # production shape: extract + partitioned parquet write (the real sink)
     import shutil
@@ -148,13 +142,35 @@ def main() -> int:
             .parquet(write_dir)
         )
 
-    timings["extract_write"] = round(best_of(run_extract_write), 3)
+    # --- the sweep: every workload sampled in separated full passes --------
+    qs = entrymod.queries()
+    workloads = [("extract", run_extract), ("extract_write", run_extract_write)]
+    for name in BENCH_QUERIES:
+        workloads.append(
+            (name, lambda name=name: qs[name](spark, sf_dir).collect())
+        )
+
+    sweeps = int(os.environ.get("SPARK_GRAFT_BENCH_SWEEPS", "2"))
+    runs_per = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    gap = float(os.environ.get("SPARK_GRAFT_BENCH_GAP", "5"))
+    samples: dict[str, list[float]] = {n: [] for n, _ in workloads}
+    steals: dict[str, list[float]] = {n: [] for n, _ in workloads}
+    for s in range(sweeps):
+        if s:
+            time.sleep(gap)  # separated passes: a wedge phase hits ONE sweep
+        for name, fn in workloads:
+            for _ in range(runs_per):
+                c0 = cpu_stat()
+                t0 = time.time()
+                fn()
+                samples[name].append(round(time.time() - t0, 3))
+                steals[name].append(round(steal_pct(c0, cpu_stat()), 1))
     shutil.rmtree(write_dir, ignore_errors=True)
 
-    # --- headline queries --------------------------------------------------
-    qs = entrymod.queries()
-    for name in BENCH_QUERIES:
-        timings[name] = round(best_of(lambda: qs[name](spark, sf_dir).collect()), 3)
+    timings = {n: min(v) for n, v in samples.items()}
+    agg = agg_holder["agg"]
+    docs_per_sec = n_docs / timings["extract"]
+    mb_per_sec = corpus_bytes / 1e6 / timings["extract"]
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -162,6 +178,12 @@ def main() -> int:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "detail": {
+            n: {"best": timings[n], "all": samples[n], "steal_pct": steals[n]}
+            for n, _ in workloads
+        },
+        "sweeps": sweeps,
+        "runs_per_sweep": runs_per,
         "sf": sf,
         "cpus": cpus,
         "extract_docs": n_docs,
