@@ -76,12 +76,14 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--salt-threshold", type=int, default=500)
     p.add_argument("--doc-budget-ms", type=float, default=None,
                    help="per-document time budget for the per-doc Python "
-                        "kernels (html/sheet/bytes). Best-effort check-"
-                        "after, not preemption: a slow doc is flagged as an "
-                        "error row AFTER its own parse finishes, so the "
-                        "batch is protected but the doc still costs its "
-                        "parse time once (unlike the reference's enforced "
-                        "per-file timeouts)")
+                        "kernels (html/sheet/bytes). Cooperative "
+                        "preemption: the HTML token loop and the sheet "
+                        "split/format/assembly loops check the deadline "
+                        "mid-parse, so a pathological doc aborts at "
+                        "~budget and becomes an error row — in-process "
+                        "parity with the reference's per-file timeout "
+                        "(cli/benchmark.py:45); the per-span bytes-decode "
+                        "loop checks between spans")
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
 

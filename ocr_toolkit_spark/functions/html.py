@@ -16,7 +16,19 @@ kernel (HTML is the one format that resists columnar vectorization).
 from __future__ import annotations
 
 import re
+import time
 from dataclasses import dataclass
+
+
+class HtmlBudgetExceeded(Exception):
+    """Cooperative preemption: extract_blocks crossed its deadline.
+
+    Raised mid-parse (not check-after) so a pathological document costs
+    ~its budget, not its full parse time — the in-process analog of the
+    reference's per-file subprocess timeout (cli/benchmark.py:45)."""
+
+
+_DEADLINE_STRIDE = 4096  # tokens between clock checks (~µs granularity)
 
 _SCRIPT_RE = re.compile(r"<script\b.*?</script\s*>", re.IGNORECASE | re.DOTALL)
 _STYLE_RE = re.compile(r"<style\b.*?</style\s*>", re.IGNORECASE | re.DOTALL)
@@ -56,12 +68,22 @@ class HtmlBlock:
     kept: bool
 
 
-def extract_blocks(html: str) -> list[HtmlBlock]:
+def extract_blocks(html: str, deadline: float | None = None) -> list[HtmlBlock]:
     """Parse one document's HTML and score its blocks. Returns blocks in
-    document order with the keep decision applied (SPANS.md §3.7.6-7)."""
+    document order with the keep decision applied (SPANS.md §3.7.6-7).
+
+    `deadline` (absolute time.perf_counter() value) enables cooperative
+    preemption: the token and scoring loops check the clock every
+    _DEADLINE_STRIDE iterations and raise HtmlBudgetExceeded mid-parse.
+    The C-level regex pre-passes (script/style/comment strip, tokenize)
+    run before the first check — they are linear scans, so the unbounded
+    super-linear work (the Python block loop) is what the deadline
+    bounds."""
     html = _COMMENT_RE.sub(" ", _STYLE_RE.sub(" ", _SCRIPT_RE.sub(" ", html)))
 
     parts = _SPLIT_RE.split(html)  # even idx: text runs, odd idx: tags
+    if deadline is not None and time.perf_counter() > deadline:
+        raise HtmlBudgetExceeded
 
     # parallel per-block accumulators
     texts: list[list[str]] = [[]]
@@ -75,6 +97,12 @@ def extract_blocks(html: str) -> list[HtmlBlock]:
     in_link = False
 
     for i, tok in enumerate(parts):
+        if (
+            deadline is not None
+            and i % _DEADLINE_STRIDE == 0
+            and time.perf_counter() > deadline
+        ):
+            raise HtmlBudgetExceeded
         if i & 1:  # tag token
             # manual tag-name scan (≡ regex `</?\s*([a-zA-Z][a-zA-Z0-9]*)`,
             # measured ~2× faster than per-token re.match)
@@ -123,6 +151,12 @@ def extract_blocks(html: str) -> list[HtmlBlock]:
 
     out: list[HtmlBlock] = []
     for b in range(len(texts)):
+        if (
+            deadline is not None
+            and b % _DEADLINE_STRIDE == 0
+            and time.perf_counter() > deadline
+        ):
+            raise HtmlBudgetExceeded
         t = _norm("".join(texts[b]))
         lv = level[b]
         kept = _keep(t, tag_count[b], link_len[b], lv, boiler[b])

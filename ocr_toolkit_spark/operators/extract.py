@@ -43,7 +43,7 @@ import pyarrow.compute as pc
 from pyspark.sql import DataFrame
 
 from ..functions.cells import format_cells
-from ..functions.html import extract_blocks
+from ..functions.html import HtmlBudgetExceeded, extract_blocks
 from ..schema import EXTRACTED_SCHEMA
 
 KNOWN_KINDS = ("text", "heading", "html", "image", "table_row", "page_break", "bytes")
@@ -182,12 +182,13 @@ def _process_batch(
     # reference applies its per-file timeout to EVERY format —
     # cli/benchmark.py:45 300 s, strategies/libreoffice.py:31 180 s).
     # Applied to all three per-doc Python kernels: HTML parse (the only
-    # super-linear one), sheet segmentation/stringify, and hex/GBK bytes
-    # decode. Best-effort check-AFTER (no in-process preemption): an
-    # over-budget doc becomes an error row, its spans are dropped in
-    # finalize, and the rest of the batch completes — one pathological doc
-    # cannot poison its task's output, though it still costs its own parse
-    # time once. `is not None`: a budget of 0 means STRICTEST containment
+    # super-linear one), sheet split/format/assembly, and hex/GBK bytes
+    # decode. COOPERATIVE PREEMPTION (r4 verdict #5): the HTML and sheet
+    # loops check their deadline mid-parse at a stride and abort, so an
+    # over-budget doc costs ~its budget, not its parse time; it becomes an
+    # error row, its spans are dropped in finalize, and the rest of the
+    # batch completes. Residual check-after covers the C-level regex
+    # pre-passes. `is not None`: a budget of 0 means STRICTEST containment
     # (every per-doc pass over 0 ms is flagged), not "disabled" (r3 review).
     budget_s = doc_budget_ms / 1000.0 if doc_budget_ms is not None else None
     _timeout_err = (
@@ -467,16 +468,20 @@ def _process_batch(
         s_seq = seq[sheet_rows]
         # vectorized cell formatting across ALL sheet cells of the batch
         row_mask = s_kind == "table_row"
-        cell_lists = [t.split("\x1f") for t in
-                      (s_text[i] for i in np.nonzero(row_mask)[0])]
-        if cell_lists:
-            flat_cells = pd.Series(
+        row_idx = np.nonzero(row_mask)[0]
+        _OVERFLOW_ERR = "OverflowError: cannot convert float infinity to integer"
+        if len(row_idx) == 0:
+            fmt_lists = []
+        elif budget_s is None:
+            # no budget: ONE fully-vectorized pass across all docs
+            cell_lists = [s_text[i].split("\x1f") for i in row_idx]
+            flat_np = np.array(
                 [c for cl in cell_lists for c in cl], dtype=object
             )
-            formatted, nonfinite = format_cells(flat_cells)
-            fmt_flat = formatted.to_numpy(dtype=object)
             lens = np.array([len(cl) for cl in cell_lists])
             cuts = np.cumsum(lens)[:-1]
+            formatted, nonfinite = format_cells(pd.Series(flat_np))
+            fmt_flat = formatted.to_numpy(dtype=object)
             fmt_lists = [a.tolist() for a in np.split(fmt_flat, cuts)]
             if nonfinite.any():
                 # per-doc containment (SPANS.md §4): the oracle's
@@ -484,53 +489,139 @@ def _process_batch(
                 # extract_document turns that into an error row — mirror
                 # the exact message, never fail the task.
                 flat_doc = np.repeat(s_di[row_mask], lens)
-                errors[np.unique(flat_doc[nonfinite])] = (
-                    "OverflowError: cannot convert float infinity to integer"
-                )
+                errors[np.unique(flat_doc[nonfinite])] = _OVERFLOW_ERR
         else:
+            # budgeted: the row split AND the cell formatting run per doc
+            # under its deadline, sub-chunked, so a hostile 100M-cell sheet
+            # aborts at ~budget instead of stalling the task through the
+            # batch-level pass (r4 verdict #5). Cells stay vectorized
+            # WITHIN each 64k sub-chunk; only doc/chunk boundaries pay
+            # Python overhead.
             fmt_lists = []
+            row_docs = s_di[row_mask]
+            starts = np.nonzero(np.r_[True, np.diff(row_docs) != 0])[0]
+            ends = np.r_[starts[1:], len(row_docs)]
+            for s0, e0 in zip(starts.tolist(), ends.tolist()):
+                d = int(row_docs[s0])
+                t_cells = time.perf_counter()
+                doc_rows: list[list[str]] = []
+                over = False
+                for ri in range(s0, e0):
+                    if (ri - s0) & 1023 == 0 and (
+                        time.perf_counter() - t_cells > budget_s
+                    ):
+                        over = True
+                        break
+                    doc_rows.append(s_text[int(row_idx[ri])].split("\x1f"))
+                if not over:
+                    flat_np = np.array(
+                        [c for cl in doc_rows for c in cl], dtype=object
+                    )
+                    lens = np.array([len(cl) for cl in doc_rows])
+                    cuts = np.cumsum(lens)[:-1]
+                    fmt_flat = np.empty(len(flat_np), dtype=object)
+                    any_nonfinite = False
+                    done = 0
+                    for a in range(0, len(flat_np), 65536):
+                        if time.perf_counter() - t_cells > budget_s:
+                            over = True
+                            break
+                        b = min(a + 65536, len(flat_np))
+                        fsub, nfsub = format_cells(pd.Series(flat_np[a:b]))
+                        fmt_flat[a:b] = fsub.to_numpy(dtype=object)
+                        any_nonfinite |= bool(nfsub.any())
+                        done = b
+                if over:
+                    errors[d] = _timeout_err
+                    # placeholders keep the fmt_lists cursor doc-aligned
+                    fmt_lists.extend([[]] * (e0 - s0))
+                    continue
+                if any_nonfinite:
+                    errors[d] = _OVERFLOW_ERR
+                fmt_flat[done:] = ""
+                fmt_lists.extend(a.tolist() for a in np.split(fmt_flat, cuts))
         # per-doc sheet segmentation (loop over sheet spans only)
         e_di, e_sort, e_kind, e_gen = [], [], [], []
         row_i = 0
         cur_doc = -1
         sheets: list[tuple[float, str, list[list[str]]]] = []
 
-        def flush_doc(d: int) -> None:
+        def flush_doc(d: int, t_start: float) -> bool:
+            """Assemble the doc's sheets; False = deadline hit mid-assembly
+            (partial emissions are fine — finalize drops error-doc spans)."""
             for s0, name, rows in sheets:
                 e_di.append(d); e_sort.append(s0); e_kind.append(K_HEADING)
                 e_gen.append(em.gen(f"## Sheet: {name}"))
-                e_di.append(d); e_sort.append(s0 + 0.5)
                 if not rows:
+                    e_di.append(d); e_sort.append(s0 + 0.5)
                     e_kind.append(K_TEXT); e_gen.append(em.gen("*(Empty sheet)*"))
                     continue
                 max_cols = max(len(r) for r in rows)
+                # stride scales with row width: wide rows are expensive
+                # enough that a per-row clock check is noise
+                stride_mask = 0 if max_cols >= 256 else 4095
                 lines = []
                 for i, r in enumerate(rows):
+                    if (
+                        budget_s is not None
+                        and (i & stride_mask) == 0
+                        and time.perf_counter() - t_start > budget_s
+                    ):
+                        # cooperative preemption (r4 verdict #5); the
+                        # aborted sheet's slot is never appended, so the
+                        # parallel emission arrays stay aligned
+                        return False
                     padded = r + [""] * (max_cols - len(r))
                     lines.append("| " + " | ".join(padded) + " |")
                     if i == 0:
                         lines.append("| " + " | ".join(["---"] * max_cols) + " |")
+                e_di.append(d); e_sort.append(s0 + 0.5)
                 e_kind.append(K_TABLE); e_gen.append(em.gen("\n".join(lines)))
+            return True
 
         # per-doc budget over the segmentation + stringify loop (the
         # unbounded per-doc Python here: a hostile 100M-cell sheet's
         # markdown assembly is linear but arbitrarily long). The batch-
         # vectorized format_cells pass above is outside the per-doc
-        # window; check-after per doc, finalize drops flagged emissions.
-        def close_doc(d: int, t_start: float) -> None:
-            flush_doc(d)
+        # window. Cooperative: the accumulation loop checks the deadline
+        # at a stride and skips the doc's remaining rows once over; the
+        # assembly loop aborts mid-flush; check-after remains as backstop.
+        def close_doc(d: int, t_start: float, over: bool) -> None:
+            if over:
+                return  # preempted during accumulation: skip assembly
+            if not flush_doc(d, t_start):
+                errors[d] = _timeout_err
+                return
             if budget_s is not None and time.perf_counter() - t_start > budget_s:
                 errors[d] = _timeout_err
 
         t_doc = 0.0
+        over_doc = False
         for j in range(len(sheet_rows)):
             d = int(s_di[j])
             if d != cur_doc:
                 if cur_doc >= 0:
-                    close_doc(cur_doc, t_doc)
+                    close_doc(cur_doc, t_doc, over_doc)
                 cur_doc, sheets = d, []
+                # a doc already flagged (e.g. over budget in the cell-
+                # formatting phase) skips accumulation + assembly entirely
+                # (guard on budget_s: with no budget _timeout_err is "",
+                # which would match every clean doc's empty error slot)
+                over_doc = budget_s is not None and errors[d] == _timeout_err
                 t_doc = time.perf_counter()
-            if s_kind[j] == "heading":
+            is_heading = s_kind[j] == "heading"
+            if not over_doc and (
+                budget_s is not None
+                and (j & 1023) == 0
+                and time.perf_counter() - t_doc > budget_s
+            ):
+                over_doc = True
+                errors[cur_doc] = _timeout_err
+            if over_doc:
+                if not is_heading:
+                    row_i += 1  # fmt_lists cursor must stay doc-aligned
+                continue
+            if is_heading:
                 sheets.append((float(s_seq[j]), s_text[j].strip() or "Sheet", []))
             else:
                 if not sheets:
@@ -538,7 +629,7 @@ def _process_batch(
                 sheets[-1][2].append(fmt_lists[row_i])
                 row_i += 1
         if cur_doc >= 0:
-            close_doc(cur_doc, t_doc)
+            close_doc(cur_doc, t_doc, over_doc)
         em.add(np.asarray(e_di, np.int64), np.asarray(e_sort, np.float64),
                np.asarray(e_kind, np.int8), gen_idx=np.asarray(e_gen, np.int64))
 
@@ -550,8 +641,10 @@ def _process_batch(
         h_text = pc.take(text_a, pa.array(html_rows)).to_pylist()
         e_di, e_sort, e_kind, e_gen, e_mgen = [], [], [], [], []
         # per-doc budget (see top of _process_batch): the HTML parse is the
-        # per-doc Python kernel with super-linear worst cases — check-after,
-        # an over-budget doc drops its spans and the batch completes
+        # per-doc Python kernel with super-linear worst cases — the parser
+        # takes a cooperative DEADLINE and aborts mid-parse (r4 verdict #5:
+        # a pathological doc now costs ~its budget, not its parse time);
+        # the check-after remains as backstop for the pre-tokenize regexes
         i = 0
         while i < len(html_rows):
             j = i
@@ -560,7 +653,15 @@ def _process_batch(
             html = "\n".join(h_text[i:j])
             d = int(h_di[i])
             t_doc = time.perf_counter()
-            blocks = extract_blocks(html)
+            try:
+                blocks = extract_blocks(
+                    html,
+                    deadline=t_doc + budget_s if budget_s is not None else None,
+                )
+            except HtmlBudgetExceeded:
+                errors[d] = _timeout_err
+                i = j
+                continue
             if budget_s is not None and time.perf_counter() - t_doc > budget_s:
                 errors[d] = _timeout_err
                 i = j
@@ -754,8 +855,11 @@ def extract_spans(
     decode) — an over-budget document becomes an error row (`error`
     starts with 'timeout:') instead of stalling its task; the reference
     applies its per-file timeout to every format (cli/benchmark.py:45).
-    Best-effort check-after, not preemption (see _process_batch). None
-    disables the check (default: containment without a budget)."""
+    Cooperative preemption (r4 verdict #5): the HTML token/scoring loops
+    and the sheet split/format/assembly loops check the deadline
+    mid-parse and abort at ~budget; the per-span bytes-decode loop checks
+    between spans (see _process_batch). None disables the check
+    (default: containment without a budget)."""
     if isinstance(pages, str):
         from ..functions.pages import parse_pages
 

@@ -154,3 +154,44 @@ def test_doc_budget_contains_pathological_doc_without_poisoning_batch():
     zero = _process_batch(batch, True, doc_budget_ms=0.0).to_pylist()
     assert {r["doc_id"] for r in zero if r["error"].startswith("timeout:")} \
         == {r["doc_id"] for r in timed_out}
+
+
+def test_doc_budget_preempts_mid_parse():
+    """r4 verdict #5 — cooperative preemption, not just check-after: a
+    pathological document's batch completes in ~its budget, not its parse
+    time. The deadline is checked INSIDE the HTML token/scoring loops
+    (functions/html.py) and inside the sheet split/format/assembly loops,
+    so the guarded kernels abort mid-parse. Parity claim with the
+    reference's per-file timeout (cli/benchmark.py:45) rests here."""
+    import time as _time
+
+    # ~20 MB of HTML blocks: several seconds of parse unbudgeted
+    big_html = "".join(f"<p>{'word ' * 8}{i}</p>" for i in range(400_000))
+    # 100k × 128-cell rows: ~10s of split+format+assembly unbudgeted
+    big_sheet = [
+        {"kind": "table_row", "text": "\x1f".join([""] * 128),
+         "media_ref": "", "offset": i}
+        for i in range(100_000)
+    ]
+    clean = {"kind": "text", "text": "a perfectly normal document",
+             "media_ref": "", "offset": 0}
+    docs = [
+        ("h0", [{"kind": "html", "text": big_html, "media_ref": "", "offset": 0}]),
+        ("s0", big_sheet),
+        ("t0", [clean]),
+    ]
+    batch = to_arrow(docs).combine_chunks().to_batches()[0]
+
+    t0 = _time.perf_counter()
+    rows = {r["doc_id"]: r
+            for r in _process_batch(batch, True, doc_budget_ms=100.0).to_pylist()}
+    budgeted = _time.perf_counter() - t0
+
+    assert rows["h0"]["error"].startswith("timeout:") and not rows["h0"]["success"]
+    assert rows["s0"]["error"].startswith("timeout:") and not rows["s0"]["success"]
+    assert rows["t0"]["success"] and rows["t0"]["n_spans"] == 2
+    # both pathological docs aborted near their 100 ms budgets: the whole
+    # batch (two multi-second parses when unbudgeted — measured ~5 s html,
+    # ~14 s sheet on this box) finishes in a small multiple of the budget.
+    # Generous margin for CI noise; the unbudgeted path would be ≥ 10×.
+    assert budgeted < 2.0, f"preemption failed: batch took {budgeted:.2f}s"
