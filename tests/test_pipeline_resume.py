@@ -458,6 +458,45 @@ def test_concurrent_snapshot_commits_all_land(tmpdir_path):
             s["run_id"] for s in snaps if s["snapshot_id"] == last)
 
 
+def test_cross_process_snapshot_commit_race(tmpdir_path):
+    """r4 verdict #6: the optimistic os.link claim is atomic across
+    PROCESSES, not just threads — two separate interpreters hammering one
+    table must produce dense parent-linked ids with no lost claims (the
+    two-spark-submit-jobs-one-table scenario)."""
+    import subprocess
+    import sys as _sys
+
+    table = os.path.join(tmpdir_path, "table")
+    script = (
+        "import sys; sys.path.insert(0, sys.argv[3]);"
+        "from ocr_toolkit_spark import io as tio;"
+        "proc = int(sys.argv[2]);"
+        "[tio.snapshot_commit(sys.argv[1], f'proc{proc}-c{i}',"
+        " [proc * 1000 + i, 999]) for i in range(20)]"
+    )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    procs = [
+        subprocess.Popen([_sys.executable, "-c", script, table, str(p), repo])
+        for p in (1, 2)
+    ]
+    for p in procs:
+        assert p.wait(timeout=120) == 0
+
+    assert tio.latest_snapshot_id(table) == 40  # every commit landed
+    snaps = tio.snapshots(table)
+    assert [s["snapshot_id"] for s in snaps] == list(range(1, 41))
+    assert [s["parent_id"] for s in snaps] == [None, *range(1, 40)]
+    final = tio.partitions_as_of(table, 40)
+    # disjoint claims all survive; the contended partition has ONE owner
+    # equal to its last committer in log order
+    for proc in (1, 2):
+        for i in range(20):
+            assert final[str(proc * 1000 + i)] == f"proc{proc}-c{i}"
+    last_999 = max(s["snapshot_id"] for s in snaps if "999" in s["delta"])
+    assert final["999"] == next(
+        s["run_id"] for s in snaps if s["snapshot_id"] == last_999)
+
+
 def test_compaction_and_table_report(spark, tmpdir_path):
     """compact_extracted (Iceberg rewriteDataFiles analog): collapses each
     partition to one file, preserves every row byte-for-byte, appends a

@@ -246,3 +246,50 @@ def test_no_row_python_udf_in_entry_queries(spark):
     for name, fn in em.queries().items():
         plan = formatted_plan(fn(spark, SF_DIR))
         assert "BatchEvalPython" not in plan, name
+
+
+def test_aqe_skew_join_splits_hot_key(spark):
+    """SURVEY §4 claims AQE skew-join handling as a built-in pillar; this
+    pins it actually FIRING (r4 verdict #7): a sort-merge join with one
+    hot key must show `skew=true` in the adaptive final plan, under
+    documented threshold configs (factor 2 over median, 64 KB absolute —
+    production keeps the defaults: factor 5, 256 MB)."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "65536",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32768",
+    }
+    old = {}
+    for k in confs:
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # half the left rows share key 0 → one post-shuffle partition is
+        # ~100× the median; the rest are uniform
+        left = spark.range(0, 400_000).select(
+            F.when(F.col("id") < 200_000, F.lit(0))
+            .otherwise(F.col("id")).alias("k"),
+            F.concat(F.lit("x" * 48), F.col("id").cast("string")).alias("pad"),
+        )
+        right = spark.range(0, 2_000).select(
+            F.col("id").alias("k"), F.lit("dim").alias("attr")
+        )
+        joined = left.join(right, "k").select(
+            F.count("*").alias("n"), F.sum(F.length("pad")).alias("b")
+        )
+        joined.collect()  # AQE finalizes the plan only on execution
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
