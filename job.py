@@ -64,6 +64,14 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--table-report", metavar="TABLE_PATH",
                    help="print per-partition file/byte layout + snapshot "
                         "depth and exit (no Spark job)")
+    p.add_argument("--read-changes", nargs=3,
+                   metavar=("TABLE_PATH", "FROM_SNAPSHOT", "TO_SNAPSHOT"),
+                   help="incremental consumer: count rows of partitions "
+                        "committed in (FROM, TO] — the Iceberg "
+                        "incremental-scan analog; partition column is "
+                        "auto-detected (partition_id for batch tables, "
+                        "batch_id for streaming tables); exits after "
+                        "printing one JSON line")
     p.add_argument("--input", help="documents parquet path")
     p.add_argument("--output", help="extracted output path")
     p.add_argument("--lineage", help="lineage table path")
@@ -121,6 +129,24 @@ def main(argv: list[str] | None = None) -> int:
         rep.pop("by_partition")  # totals only on the CLI
         print(json.dumps(rep))
         return 0
+    if args.read_changes:
+        from ocr_toolkit_spark import io as tio
+        from ocr_toolkit_spark.session import get_spark
+
+        table, lo, hi = args.read_changes
+        spark = get_spark(app_name="ocr-read-changes", master=args.master)
+        col = tio.detect_partition_col(table)
+        df = tio.read_extracted_changes(spark, table, int(lo), int(hi),
+                                        partition_col=col)
+        changed = sorted(
+            r[0] for r in df.select(col).distinct().collect()
+        )
+        print(json.dumps({"from": int(lo), "to": int(hi),
+                          "partition_col": col,
+                          "changed_partitions": changed,
+                          "rows": df.count()}))
+        spark.stop()
+        return 0
     if args.compact:
         import uuid as _uuid
 
@@ -137,7 +163,8 @@ def main(argv: list[str] | None = None) -> int:
     if not (args.input and args.output and args.lineage):
         p.error("--input, --output and --lineage are required "
                 "(unless using --list-formats, --list-snapshots, "
-                "--expire-snapshots, --compact or --table-report)")
+                "--expire-snapshots, --compact, --read-changes or "
+                "--table-report)")
 
     from ocr_toolkit_spark.pipeline import extraction_stats, run_extraction
     from ocr_toolkit_spark.session import get_spark

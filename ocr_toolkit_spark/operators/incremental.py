@@ -225,3 +225,45 @@ def incremental_dedup_round(
     if commit:
         append_signatures(banded, state_path, run_id)
     return pairs
+
+
+def dedup_extracted_changes(
+    spark: SparkSession,
+    table_path: str,
+    state_path: str,
+    from_snapshot: int,
+    to_snapshot: int,
+    run_id: str,
+    partition_col: str = "batch_id",
+    **round_kwargs,
+) -> DataFrame:
+    """The storage→dedup composition the 100-TB ingest actually runs: an
+    incremental consumer reads ONLY the extraction-table partitions
+    committed in (from_snapshot, to_snapshot]
+    (io.read_extracted_changes — e.g. the batches a
+    stream_extract_committed sink landed since the last dedup cursor),
+    renders each new doc's markdown (pure JVM array algebra), and runs one
+    incremental dedup round against the persisted signature state. The
+    corpus for Jaccard verification is the table AS OF `to_snapshot`
+    (verification semi-joins it to candidate ids, so only candidate docs'
+    spans are ever rendered twice). Returns the verified delta pairs.
+
+    Cursor discipline: callers advance from_snapshot to to_snapshot after
+    a successful round; a cursor older than the table's expiry boundary
+    raises in read_extracted_changes (stale-cursor loudness)."""
+    from .. import io as tio
+    from ..pipeline import render_markdown_col
+
+    changed = tio.read_extracted_changes(
+        spark, table_path, from_snapshot, to_snapshot,
+        partition_col=partition_col,
+    )
+    new_docs = changed.filter("success").select(
+        "doc_id", render_markdown_col().alias("text")
+    )
+    corpus = tio.read_extracted_as_of(
+        spark, table_path, to_snapshot, partition_col=partition_col
+    ).filter("success").select("doc_id", render_markdown_col().alias("text"))
+    return incremental_dedup_round(
+        spark, new_docs, corpus, state_path, run_id, **round_kwargs
+    )

@@ -194,3 +194,62 @@ def test_state_side_is_broadcast_semi_join(spark, tmpdir_path):
     assert "LeftSemi" in plan
     semi_lines = [ln for ln in plan.splitlines() if "LeftSemi" in ln]
     assert any("Broadcast" in ln for ln in semi_lines)
+
+
+def test_dedup_extracted_changes_composition(spark, tmpdir_path):
+    """The storage→dedup composition (r4 verdict #2's full sentence): a
+    snapshot-committed streaming extraction table consumed incrementally
+    by batch-id cursor, each round's delta dedup over the RENDERED
+    markdown, union of rounds == full re-run on the final table."""
+    import pyarrow.parquet as pq
+
+    from ocr_toolkit_spark import io as tio
+    from ocr_toolkit_spark.fixtures import to_arrow
+    from ocr_toolkit_spark.operators.incremental import dedup_extracted_changes
+    from ocr_toolkit_spark.pipeline import render_markdown_col
+    from ocr_toolkit_spark.streaming.stream_extract import (
+        stream_extract_committed,
+    )
+
+    rng = random.Random(33)
+
+    def doc(did, body):
+        return (did, [{"kind": "text", "text": body, "media_ref": "",
+                       "offset": 0}])
+
+    base_bodies = [" ".join(rng.choice(VOCAB) for _ in range(30)) + f" u{i}"
+                   for i in range(25)]
+    ingest0 = [doc(f"b{i:02d}", base_bodies[i]) for i in range(25)]
+    ingest0 += [doc(f"b9{i}", base_bodies[i]) for i in range(3)]  # dups in base
+    ingest1 = [doc(f"n{i:02d}", base_bodies[5 + i]) for i in range(6)]
+    ingest1 += [doc("n99", " ".join(rng.choice(VOCAB) for _ in range(30)))]
+
+    in_dir = os.path.join(tmpdir_path, "in")
+    os.makedirs(in_dir)
+    table = os.path.join(tmpdir_path, "table")
+    ckpt = os.path.join(tmpdir_path, "ckpt")
+    state = os.path.join(tmpdir_path, "sigstate")
+    cfg = dict(k=3, n_hashes=32, bands=8, threshold=0.7)
+
+    pq.write_table(to_arrow(ingest0), os.path.join(in_dir, "a.parquet"))
+    stream_extract_committed(spark, in_dir, table, ckpt).awaitTermination(600)
+    tip0 = tio.latest_snapshot_id(table)
+    p0 = dedup_extracted_changes(spark, table, state, 0, tip0, "r0", **cfg)
+
+    pq.write_table(to_arrow(ingest1), os.path.join(in_dir, "b.parquet"))
+    stream_extract_committed(spark, in_dir, table, ckpt).awaitTermination(600)
+    tip1 = tio.latest_snapshot_id(table)
+    assert tip1 > tip0
+    p1 = dedup_extracted_changes(spark, table, state, tip0, tip1, "r1", **cfg)
+
+    new_ids = {d[0] for d in ingest1}
+    dset = _pairset(p1)
+    assert dset and all(a in new_ids or b in new_ids for a, b in dset)
+
+    rendered = (spark.read.parquet(table).filter("success")
+                .select("doc_id", render_markdown_col().alias("text")))
+    full = jaccard_verify(
+        minhash_lsh_candidates(rendered, k=3, n_hashes=32, bands=8),
+        rendered, k=3, threshold=0.7)
+    assert (_pairset(p0) | dset) == _pairset(full)
+    assert len(_pairset(full)) >= 9  # engineered dups found
