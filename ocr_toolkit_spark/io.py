@@ -212,10 +212,17 @@ def snapshots(table_path: str) -> list[dict]:
 
 
 def snapshot_commit(
-    table_path: str, run_id: str, partition_ids: list[int]
+    table_path: str, run_id: str, partition_ids: list[int],
+    operation: str = "append",
 ) -> dict:
     """Append one snapshot claiming `partition_ids` for `run_id` (replacing
     any prior owner — dynamic-overwrite semantics). Returns the new record.
+
+    `operation` is the Iceberg snapshot-operation analog: "append" for
+    commits that add/change ROWS, "replace" for row-preserving file
+    rewrites (compaction). Incremental scans skip "replace" claims —
+    a consumer must not reprocess the whole table because its files were
+    rearranged — while ownership folds (partitions_as_of) include them.
 
     Cost: one directory listing per attempt; zero snapshot-file reads except
     on checkpoint commits (every CHECKPOINT_EVERY-th id embeds the folded
@@ -239,6 +246,7 @@ def snapshot_commit(
             "run_id": run_id,
             "committed_ms": int(time.time() * 1000),
             "delta": delta,
+            "operation": operation,
         }
         if sid % CHECKPOINT_EVERY == 0:
             parts = partitions_as_of(table_path, parent_id)
@@ -292,7 +300,12 @@ def changed_partitions_between(
         except FileNotFoundError:
             raise ValueError(f"no snapshot {sid} under {table_path}")
         if "delta" in rec:
-            changed.update(rec["delta"])
+            # "replace" snapshots (compaction) rearrange files but preserve
+            # rows — invisible to data-level incremental consumers (the
+            # Iceberg incremental scan reads appends only). Ownership folds
+            # still include them via partitions_as_of.
+            if rec.get("operation", "append") != "replace":
+                changed.update(rec["delta"])
             if cur is not None:
                 cur.update(rec["delta"])
         else:
@@ -385,7 +398,14 @@ def detect_partition_col(path: str) -> str:
             f"mixed partition layouts {sorted(keys)} under {path}; "
             "compact/report cannot pick a partition column"
         )
-    return keys.pop()
+    key = keys.pop()
+    if key not in ("partition_id", "batch_id"):
+        raise ValueError(
+            f"unrecognized partition layout '{key}=' under {path}; "
+            "this engine's tables partition on partition_id (batch "
+            "pipeline) or batch_id (streaming sink) — refusing to guess"
+        )
+    return key
 
 
 def compact_extracted(
@@ -439,11 +459,23 @@ def compact_extracted(
         partition_ids = sorted(int(p) for p in partitions_as_of(path, tip))
     pids = [int(p) for p in partition_ids]
     if partition_col != "partition_id":
+        # legacy nested layout (batch_id=N/partition_id=M, pre-r5 sink):
+        # compaction FLATTENS, so a partial rewrite would mix directory
+        # depths under one root and break partition discovery — require
+        # the full migration. Current flat tables can compact any subset.
+        nested = any(
+            inner.startswith("partition_id=")
+            for name in os.listdir(path)
+            if name.startswith(f"{partition_col}=")
+            and os.path.isdir(os.path.join(path, name))
+            for inner in os.listdir(os.path.join(path, name))
+        )
         committed = {int(p) for p in partitions_as_of(path, tip)} if tip else set()
-        if committed - set(pids):
+        if nested and committed - set(pids):
             raise ValueError(
-                f"streaming table {path} is partitioned on {partition_col}; "
-                "compaction must rewrite ALL committed batches "
+                f"streaming table {path} has the legacy nested layout "
+                f"({partition_col}=N/partition_id=M); compaction must "
+                "rewrite ALL committed batches in one migration "
                 f"(missing: {sorted(committed - set(pids))}) — a partial "
                 "rewrite would mix flat and nested layouts under the same "
                 "root and break partition discovery"
@@ -480,7 +512,7 @@ def compact_extracted(
         .partitionBy(partition_col)
         .parquet(path)
     )
-    snapshot_commit(path, run_id, pids)
+    snapshot_commit(path, run_id, pids, operation="replace")
     return {
         "partitions": len(pids),
         "partition_col": partition_col,

@@ -123,6 +123,7 @@ def delta_candidate_pairs(
     state_banded: DataFrame | None,
     max_bucket: int = DEFAULT_MAX_BUCKET,
     materialize_frames: bool = True,
+    assume_new_materialized: bool = False,
 ) -> DataFrame:
     """Candidate pairs touching at least one NEW doc: new×(old ∪ new)
     within each bucket, star-capped like the batch path.
@@ -132,8 +133,14 @@ def delta_candidate_pairs(
     delta is small by definition), so the per-round join cost is
     O(touched-bucket rows × new rows per bucket), never O(state²) and
     never a state-table shuffle. With an empty state this degenerates to
-    exactly star_capped_pairs over the new frame (round 0 == batch run)."""
-    if materialize_frames:
+    exactly star_capped_pairs over the new frame (round 0 == batch run).
+
+    `assume_new_materialized=True` skips re-checkpointing a frame the
+    caller already materialized (incremental_dedup_round builds the banded
+    frame materialized so append_signatures reuses the same rows —
+    re-checkpointing it here would re-store every row and run an extra
+    job for nothing; same precedent as similarity.assume_small_queries)."""
+    if materialize_frames and not assume_new_materialized:
         new_banded = materialize(new_banded)
     new_t = new_banded.select(
         "id", "band", "band_hash", F.lit(True).alias("_new")
@@ -210,14 +217,20 @@ def incremental_dedup_round(
     table); verification semi-joins it down to candidate ids, so only
     candidate texts are ever shingled. Set commit=False for a dry run
     (state unchanged)."""
+    # the full equivalence-relevant config is pinned, not just the
+    # signature params: a threshold or cap change between rounds silently
+    # voids the union==full-re-run contract just as surely as a band
+    # change (review r5 #6)
     _check_or_write_meta(
-        state_path, {"k": k, "n_hashes": n_hashes, "bands": bands}
+        state_path, {"k": k, "n_hashes": n_hashes, "bands": bands,
+                     "threshold": threshold, "max_bucket": max_bucket}
     )
     banded = minhash_banded_frame(
         new_df, id_col, text_col, k=k, n_hashes=n_hashes, bands=bands
     )
     state = read_signature_state(spark, state_path)
-    cand = delta_candidate_pairs(banded, state, max_bucket=max_bucket)
+    cand = delta_candidate_pairs(banded, state, max_bucket=max_bucket,
+                                 assume_new_materialized=True)
     pairs = jaccard_verify(
         cand, corpus_df, id_col, text_col, k=k, threshold=threshold
     )

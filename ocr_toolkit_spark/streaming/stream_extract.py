@@ -71,9 +71,15 @@ def stream_extract_committed(
 
     Exactly-once across restarts, twice over:
 
-    - the data write partitions by (batch_id, partition_id) with dynamic
-      overwrite, so a REPLAYED batch (crash before the checkpoint
-      advanced) replaces exactly its own files — never duplicates;
+    - the data write partitions by batch_id (FLAT layout — partition_id
+      rides as a stored column, schema-identical to the batch pipeline's
+      output rows) with dynamic overwrite, so a REPLAYED batch (crash
+      before the checkpoint advanced) replaces exactly its own directory
+      — never duplicates. Flat-by-batch also means compaction preserves
+      the layout: a post-compaction table accepts new batches without
+      mixing directory depths (review r5 #1), and each micro-batch writes
+      one file per task instead of one per (task, bucket) — fewer, larger
+      files;
     - the snapshot log claims the batch id under THIS STREAM's identity
       (derived from the checkpoint location, the Spark analog of
       Iceberg's (queryId, epochId) replay key): a replayed batch whose
@@ -121,11 +127,11 @@ def stream_extract_committed(
                 "fresh table"
             )
         # crash-after-data-write, before-commit replay: the first attempt's
-        # files exist but no snapshot owns them. Dynamic overwrite only
-        # replaces (batch_id, partition_id) pairs present in the NEW data,
-        # so a restart with a different n_buckets would leave the first
-        # attempt's extra bucket dirs in place → duplicate rows. Drop the
-        # whole uncommitted batch directory before rewriting.
+        # files exist but no snapshot owns them. Dynamic overwrite at
+        # batch_id granularity replaces the whole directory, but a legacy
+        # NESTED first attempt (batch_id=b/partition_id=m) or foreign
+        # debris would survive alongside flat files → drop the uncommitted
+        # batch directory before rewriting.
         import shutil
 
         bdir = os.path.join(output_dir, f"batch_id={b}")
@@ -137,7 +143,7 @@ def stream_extract_committed(
         (
             out.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id", "partition_id")
+            .partitionBy("batch_id")
             .parquet(output_dir)
         )
         tio.snapshot_commit(output_dir, run_id, [b])

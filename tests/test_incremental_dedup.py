@@ -163,10 +163,20 @@ def test_config_mismatch_raises(spark, tmpdir_path):
     df = spark.createDataFrame(rows, "doc_id int, text string")
     state = os.path.join(tmpdir_path, "sigstate")
     incremental_dedup_round(spark, df, df, state, "r0", **CFG)
-    assert signature_state_meta(state) == {"k": 3, "n_hashes": 32, "bands": 8}
+    assert signature_state_meta(state) == {
+        "k": 3, "n_hashes": 32, "bands": 8, "threshold": 0.8,
+        "max_bucket": 256,
+    }
     with pytest.raises(ValueError, match="incomparable"):
         incremental_dedup_round(spark, df, df, state, "r1", k=5,
                                 n_hashes=32, bands=8, threshold=0.8)
+    # threshold and max_bucket are equivalence-relevant too (review r5 #6)
+    with pytest.raises(ValueError, match="incomparable"):
+        incremental_dedup_round(spark, df, df, state, "r2", k=3,
+                                n_hashes=32, bands=8, threshold=0.5)
+    with pytest.raises(ValueError, match="incomparable"):
+        incremental_dedup_round(spark, df, df, state, "r3", max_bucket=64,
+                                **CFG)
 
 
 def test_state_side_is_broadcast_semi_join(spark, tmpdir_path):

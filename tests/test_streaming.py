@@ -124,13 +124,11 @@ def test_stream_extract_committed_snapshots(spark, tmpdir_path):
 
 
 def test_streaming_table_compact_and_report(spark, tmpdir_path):
-    """Maintenance surface on the STREAMING layout (batch_id=N/partition_id=M):
-    table_report counts nested files (r4 reported 0), compact_extracted
-    auto-detects batch_id, flattens to one file per batch with identical
-    rows, refuses a partial rewrite, and a replayed uncommitted batch drops
-    its first attempt's stale bucket dirs before rewriting."""
-    import pytest
-
+    """Maintenance surface on the STREAMING table: flat batch_id layout,
+    table_report/compaction/auto-detect work on it, a replayed uncommitted
+    batch drops its first attempt's debris, compaction is a 'replace'
+    snapshot (invisible to incremental consumers), and — the review-r5 #1
+    regression — a NEW batch after compaction keeps the table readable."""
     from ocr_toolkit_spark import io as tio
     from ocr_toolkit_spark.streaming.stream_extract import (
         stream_extract_committed,
@@ -146,9 +144,9 @@ def test_streaming_table_compact_and_report(spark, tmpdir_path):
     out = os.path.join(tmpdir_path, "out")
     ckpt = os.path.join(tmpdir_path, "ckpt")
 
-    # crash-before-commit simulation: batch 0's first attempt left files
-    # under a bucket id the retry (different n_buckets) would never
-    # overwrite — the sink must rmtree the uncommitted batch dir first
+    # crash-before-commit simulation: batch 0's first attempt left legacy
+    # nested files the flat retry would never overwrite — the sink must
+    # rmtree the uncommitted batch dir first
     stale = os.path.join(out, "batch_id=0", "partition_id=999")
     os.makedirs(stale)
     with open(os.path.join(stale, "stale.parquet"), "w") as f:
@@ -162,36 +160,103 @@ def test_streaming_table_compact_and_report(spark, tmpdir_path):
     assert tio.detect_partition_col(out) == "batch_id"
     rep = tio.table_report(out)
     assert rep["partitions"] == 2
-    assert rep["total_files"] > 0 and rep["total_bytes"] > 0  # nested walk
+    assert rep["total_files"] > 0 and rep["total_bytes"] > 0
 
     before = sorted(
         (r["doc_id"], r["n_spans"], r["batch_id"], r["partition_id"])
         for r in spark.read.parquet(out)
         .select("doc_id", "n_spans", "batch_id", "partition_id").collect())
 
-    # partial rewrite of a streaming table must refuse (layout conflict)
-    with pytest.raises(ValueError, match="ALL committed batches"):
-        tio.compact_extracted(spark, out, run_id="compact-bad",
-                              partition_ids=[0])
-
     res = tio.compact_extracted(spark, out, run_id="compact-s")
     assert res["partition_col"] == "batch_id"
     assert res["files_after"] == res["partitions"] == 2
-    assert res["files_before"] > res["files_after"]
+    assert res["files_before"] >= res["files_after"]
+    tip_after_compact = tio.latest_snapshot_id(out)
+
+    # compaction is operation=replace: incremental consumers see NOTHING
+    assert tio.changed_partitions_between(
+        out, tip_after_compact - 1, tip_after_compact) == {}
+    assert tio.read_extracted_changes(
+        spark, out, tip_after_compact - 1, tip_after_compact,
+        partition_col="batch_id").count() == 0
+    # ...but ownership folds include the rewrite
+    owners = tio.partitions_as_of(out, tip_after_compact)
+    assert set(owners.values()) == {"compact-s"}
 
     after = sorted(
         (r["doc_id"], r["n_spans"], r["batch_id"], r["partition_id"])
         for r in spark.read.parquet(out)
         .select("doc_id", "n_spans", "batch_id", "partition_id").collect())
-    assert after == before  # rows identical; partition_id now stored
-    # flattened: no nested partition_id= dirs remain
+    assert after == before  # rows identical; partition_id stays a column
+    # time travel over the batch dimension still works post-compaction
+    at1 = tio.read_extracted_as_of(spark, out, 1, partition_col="batch_id")
+    assert at1.count() == len(docs) // 2
+
+    # THE regression: a NEW batch lands after compaction — layout stays
+    # flat, the table stays readable, incremental read sees only the new
+    # batch
+    extra = [(f"post-{i}", [{"kind": "text", "text": f"post doc {i}",
+                             "media_ref": "", "offset": 0}])
+             for i in range(5)]
+    pq.write_table(to_arrow(extra), os.path.join(in_dir, "c.parquet"))
+    q2 = stream_extract_committed(spark, in_dir, out, ckpt,
+                                  max_files_per_trigger=1, n_buckets=4)
+    q2.awaitTermination(600)
+    table = spark.read.parquet(out)
+    assert table.count() == len(docs) + 5
+    tip = tio.latest_snapshot_id(out)
+    inc = tio.read_extracted_changes(spark, out, tip_after_compact, tip,
+                                     partition_col="batch_id")
+    assert inc.count() == 5
+    assert inc.filter("doc_id like 'post-%'").count() == 5
+
+
+def test_legacy_nested_streaming_table_compaction_migrates(spark, tmpdir_path):
+    """Tables written by the pre-r5 nested sink (batch_id=N/partition_id=M):
+    compaction refuses a partial rewrite (mixed depths would break
+    partition discovery) and a full rewrite migrates to the flat layout
+    with identical rows."""
+    import pytest
+
+    from ocr_toolkit_spark import io as tio
+    from ocr_toolkit_spark.pipeline import with_partition_id
+    from ocr_toolkit_spark.operators.extract import extract_spans
+    from ocr_toolkit_spark.fixtures import generate_documents as gen
+
+    out = os.path.join(tmpdir_path, "legacy")
+    for b, seed in ((0, 1), (1, 2)):
+        docs = gen(30, seed)
+        df = spark.createDataFrame(
+            [(f"b{b}-{did}", spans) for did, spans in docs],
+            "doc_id string, spans array<struct<kind:string,text:string,"
+            "media_ref:string,offset:int>>")
+        from pyspark.sql import functions as F
+        ext = with_partition_id(extract_spans(df), 4).withColumn(
+            "batch_id", F.lit(b))
+        (ext.write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch_id", "partition_id").parquet(out))
+        tio.snapshot_commit(out, f"legacy-{b}", [b])
+
+    # nested layout present → partial rewrite refuses
+    with pytest.raises(ValueError, match="ALL committed batches"):
+        tio.compact_extracted(spark, out, run_id="c-bad", partition_ids=[0])
+
+    before = sorted(
+        (r["doc_id"], r["batch_id"], r["partition_id"])
+        for r in spark.read.parquet(out)
+        .select("doc_id", "batch_id", "partition_id").collect())
+    res = tio.compact_extracted(spark, out, run_id="c-mig")
+    assert res["files_after"] == 2
+    after = sorted(
+        (r["doc_id"], r["batch_id"], r["partition_id"])
+        for r in spark.read.parquet(out)
+        .select("doc_id", "batch_id", "partition_id").collect())
+    assert after == before
     for name in os.listdir(out):
         if name.startswith("batch_id="):
             inner = os.listdir(os.path.join(out, name))
             assert not any(i.startswith("partition_id=") for i in inner)
-    # time travel over the batch dimension still works post-compaction
-    at1 = tio.read_extracted_as_of(spark, out, 1, partition_col="batch_id")
-    assert at1.count() == len(docs) // 2
 
 
 def test_watermarked_window_late_data(spark, tmpdir_path):
