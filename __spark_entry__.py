@@ -755,10 +755,14 @@ def q_extract_counts(spark, sf_dir):
     (openocr_doc_handler.py:255-257), and `## Page n` emission
     (openocr_doc_handler.py:219,276) from the raw documents table, so a
     hash match pins the kernel's per-doc span/char output against a second
-    engine. html/sheet routes stay under the pytest golden/fuzz suites."""
+    engine. r5b adds the SHEET route (doc_id%5==3): the twin re-derives
+    format_cell (int/float/ISO-datetime/pipe-escape/truncate,
+    excel_processor.py:206-242) and the markdown table geometry
+    (pad-to-max-cols + '---' separator). Only the html route stays
+    pytest-only (DOM block scoring is not SQL)."""
     from ocr_toolkit_spark.operators.extract import extract_spans
 
-    docs = _docs(spark, sf_dir).filter((F.col("doc_id") % 5).isin(0, 1, 4))
+    docs = _docs(spark, sf_dir).filter((F.col("doc_id") % 5).isin(0, 1, 3, 4))
     extracted = extract_spans(_spanify(docs), include_spans=False)
     return (
         extracted.groupBy("method")
@@ -1143,9 +1147,10 @@ def oracle_sql() -> dict[str, str]:
         # '## Page n' emission (pages of 40/rest chars) for paged.
         "extract_counts": _expand_f1("""
             WITH base AS (
-              SELECT doc_id, CAST(doc_id AS VARCHAR) AS did, text,
+              SELECT doc_id, CAST(doc_id AS VARCHAR) AS did, text, lang,
+                     source, n_chars AS doc_n_chars,
                      CAST(doc_id % 5 AS INT) AS route
-              FROM documents WHERE doc_id % 5 IN (0, 1, 4)),
+              FROM documents WHERE doc_id % 5 IN (0, 1, 3, 4)),
             r01 AS (  -- routes 0/1: ONE text span (route 1 prefixes '# ')
               SELECT doc_id, did,
                 COALESCE(CASE WHEN route = 1 THEN '# ' || text
@@ -1186,7 +1191,44 @@ def oracle_sql() -> dict[str, str]:
                 (CASE WHEN t1 <> '' THEN 9 + length(t1) ELSE 0 END)
                   + (CASE WHEN t2 <> '' THEN 9 + length(t2) ELSE 0 END) AS n_chars
               FROM r4),
-            per AS (SELECT * FROM r01out UNION ALL SELECT * FROM r4out)
+            r3cells AS (  -- route 3: two table_row spans of 3 + 2 cells
+              SELECT doc_id, unnest([
+                substr(text, 1, 20), lang, source,
+                substr(text, 21, 20), CAST(doc_n_chars AS VARCHAR)
+              ]) AS c
+              FROM base WHERE route = 3),
+            r3fmt AS (  -- format_cell: ISO-datetime / int / float /
+                        -- pipe-escape + 100-char truncate (SPANS.md 3.5.3)
+              SELECT doc_id,
+                CASE
+                  WHEN c = '' THEN ''
+                  WHEN regexp_matches(c,
+                    '^\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2}$')
+                    THEN replace(c, 'T', ' ')
+                  WHEN regexp_matches(c, '^[+-]?\\d+$') THEN c
+                  WHEN regexp_matches(c,
+                    '^[+-]?(\\d+\\.\\d*|\\.\\d+|\\d+\\.)([eE][+-]?\\d+)?$')
+                    OR regexp_matches(c, '^[+-]?\\d+[eE][+-]?\\d+$')
+                    THEN CASE
+                      WHEN CAST(c AS DOUBLE) = floor(CAST(c AS DOUBLE))
+                        THEN CAST(CAST(CAST(c AS DOUBLE) AS BIGINT) AS VARCHAR)
+                      ELSE printf('%.2f', CAST(c AS DOUBLE)) END
+                  ELSE CASE
+                    WHEN length(replace(c, '|', '\\|')) > 100
+                      THEN substr(replace(c, '|', '\\|'), 1, 97) || '...'
+                    ELSE replace(c, '|', '\\|') END
+                END AS f
+              FROM r3cells),
+            r3out AS (
+              -- '# did' + '## Sheet: Sheet1' + one 3-col 2-row table:
+              -- table chars = sum(cell lens) + 2 rows x ('| ' + 2x' | '
+              -- + pad-col ' | ' + ' |') + separator row 19 + 2 newlines
+              SELECT doc_id, 'sheet' AS method, 3 AS n_spans,
+                59 + length(CAST(doc_id AS VARCHAR))
+                   + CAST(sum(length(f)) AS BIGINT) AS n_chars
+              FROM r3fmt GROUP BY doc_id),
+            per AS (SELECT * FROM r01out UNION ALL SELECT * FROM r4out
+                    UNION ALL SELECT * FROM r3out)
             SELECT method, count(*) AS docs,
                    count(*) AS succeeded,
                    CAST(sum(n_spans) AS BIGINT) AS spans,
