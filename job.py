@@ -72,6 +72,17 @@ def main(argv: list[str] | None = None) -> int:
                         "auto-detected (partition_id for batch tables, "
                         "batch_id for streaming tables); exits after "
                         "printing one JSON line")
+    p.add_argument("--dedup-delta", nargs=4,
+                   metavar=("TABLE_PATH", "STATE_PATH", "FROM_SNAPSHOT",
+                            "TO_SNAPSHOT"),
+                   help="incremental near-dedup round: render the docs of "
+                        "partitions committed in (FROM, TO], compute their "
+                        "MinHash signatures only, find candidates against "
+                        "the persisted signature state (broadcast semi-"
+                        "join, state never shuffled), Jaccard-verify, "
+                        "append this round's signatures to STATE_PATH, "
+                        "print one JSON line with the verified pair count; "
+                        "cost tracks the delta, not the table")
     p.add_argument("--input", help="documents parquet path")
     p.add_argument("--output", help="extracted output path")
     p.add_argument("--lineage", help="lineage table path")
@@ -147,6 +158,38 @@ def main(argv: list[str] | None = None) -> int:
                           "rows": df.count()}))
         spark.stop()
         return 0
+    if args.dedup_delta:
+        import uuid as _uuid
+
+        from ocr_toolkit_spark import io as tio
+        from ocr_toolkit_spark.operators.incremental import (
+            dedup_extracted_changes,
+        )
+        from ocr_toolkit_spark.session import get_spark
+
+        table, state, lo, hi = args.dedup_delta
+        spark = get_spark(app_name="ocr-dedup-delta", master=args.master)
+        col = tio.detect_partition_col(table)
+        pairs = dedup_extracted_changes(
+            spark, table, state, int(lo), int(hi),
+            run_id=f"dedup-{_uuid.uuid4().hex[:8]}", partition_col=col,
+        )
+        from pyspark.sql import functions as F
+
+        agg = pairs.agg(
+            F.count("*").alias("pairs"),
+            F.round(F.coalesce(F.min("jaccard"), F.lit(1.0)), 4).alias(
+                "min_jaccard"),
+        ).collect()[0]
+        print(json.dumps({"from": int(lo), "to": int(hi),
+                          "partition_col": col,
+                          "pairs": agg["pairs"],
+                          "min_jaccard": agg["min_jaccard"],
+                          "state_ingests": len(
+                              tio.snapshots(state)) if tio.latest_snapshot_id(
+                                  state) else 0}))
+        spark.stop()
+        return 0
     if args.compact:
         import uuid as _uuid
 
@@ -163,8 +206,8 @@ def main(argv: list[str] | None = None) -> int:
     if not (args.input and args.output and args.lineage):
         p.error("--input, --output and --lineage are required "
                 "(unless using --list-formats, --list-snapshots, "
-                "--expire-snapshots, --compact, --read-changes or "
-                "--table-report)")
+                "--expire-snapshots, --compact, --read-changes, "
+                "--dedup-delta or --table-report)")
 
     from ocr_toolkit_spark.pipeline import extraction_stats, run_extraction
     from ocr_toolkit_spark.session import get_spark
