@@ -82,7 +82,20 @@ def main(argv: list[str] | None = None) -> int:
                         "join, state never shuffled), Jaccard-verify, "
                         "append this round's signatures to STATE_PATH, "
                         "print one JSON line with the verified pair count; "
-                        "cost tracks the delta, not the table")
+                        "cost tracks the delta, not the table. Retrying "
+                        "the same (FROM, TO] interval is safe: the state "
+                        "append is idempotent on the interval")
+    p.add_argument("--dedup-k", type=int, default=5,
+                   help="shingle width for --dedup-delta (must match the "
+                        "state's pinned config)")
+    p.add_argument("--dedup-hashes", type=int, default=32,
+                   help="MinHash count for --dedup-delta")
+    p.add_argument("--dedup-bands", type=int, default=8,
+                   help="LSH bands for --dedup-delta")
+    p.add_argument("--dedup-threshold", type=float, default=0.5,
+                   help="Jaccard verify threshold for --dedup-delta")
+    p.add_argument("--dedup-max-bucket", type=int, default=256,
+                   help="star-cap bucket bound for --dedup-delta")
     p.add_argument("--input", help="documents parquet path")
     p.add_argument("--output", help="extracted output path")
     p.add_argument("--lineage", help="lineage table path")
@@ -159,8 +172,6 @@ def main(argv: list[str] | None = None) -> int:
         spark.stop()
         return 0
     if args.dedup_delta:
-        import uuid as _uuid
-
         from ocr_toolkit_spark import io as tio
         from ocr_toolkit_spark.operators.incremental import (
             dedup_extracted_changes,
@@ -170,9 +181,15 @@ def main(argv: list[str] | None = None) -> int:
         table, state, lo, hi = args.dedup_delta
         spark = get_spark(app_name="ocr-dedup-delta", master=args.master)
         col = tio.detect_partition_col(table)
+        # deterministic run_id per consumed interval: a retry of a round
+        # whose commit landed appends nothing (append_signatures is
+        # idempotent on run_id) instead of doubling the state
         pairs = dedup_extracted_changes(
             spark, table, state, int(lo), int(hi),
-            run_id=f"dedup-{_uuid.uuid4().hex[:8]}", partition_col=col,
+            run_id=f"dedup-delta-{int(lo)}-{int(hi)}", partition_col=col,
+            k=args.dedup_k, n_hashes=args.dedup_hashes,
+            bands=args.dedup_bands, threshold=args.dedup_threshold,
+            max_bucket=args.dedup_max_bucket,
         )
         from pyspark.sql import functions as F
 
@@ -185,9 +202,9 @@ def main(argv: list[str] | None = None) -> int:
                           "partition_col": col,
                           "pairs": agg["pairs"],
                           "min_jaccard": agg["min_jaccard"],
-                          "state_ingests": len(
-                              tio.snapshots(state)) if tio.latest_snapshot_id(
-                                  state) else 0}))
+                          # dense snapshot ids: the tip IS the commit
+                          # count, valid even after expiry pruned history
+                          "state_commits": tio.latest_snapshot_id(state)}))
         spark.stop()
         return 0
     if args.compact:

@@ -99,13 +99,23 @@ def append_signatures(banded: DataFrame, state_path: str, run_id: str) -> int:
     the ingest id. Same write-once + snapshot-commit discipline as the
     extraction table, so crash/retry replaces rather than duplicates and
     downstream incremental consumers can diff rounds with
-    io.read_extracted_changes(partition_col='ingest_id')."""
+    io.read_extracted_changes(partition_col='ingest_id').
+
+    IDEMPOTENT on run_id (review r5b #3): a rerun of an already-committed
+    round (operator retry after the commit landed) returns the existing
+    ingest id WITHOUT writing — otherwise the same docs' bands would
+    enter the state twice, doubling bucket counts and skewing the star
+    guard forever. Use a deterministic run_id per logical round (the CLI
+    derives it from the consumed snapshot interval)."""
     tip = tio.latest_snapshot_id(state_path)
-    nxt = (
-        max(int(p) for p in tio.partitions_as_of(state_path, tip)) + 1
-        if tip
-        else 0
-    )
+    if tip:
+        owners = tio.partitions_as_of(state_path, tip)
+        for pid, owner in owners.items():
+            if owner == run_id:
+                return int(pid)  # this round already committed
+        nxt = max(int(p) for p in owners) + 1
+    else:
+        nxt = 0
     (
         banded.select("id", "band", "band_hash")
         .withColumn("ingest_id", F.lit(nxt))
@@ -216,7 +226,14 @@ def incremental_dedup_round(
     `corpus_df` must contain the texts of old + new docs (the union
     table); verification semi-joins it down to candidate ids, so only
     candidate texts are ever shingled. Set commit=False for a dry run
-    (state unchanged)."""
+    (state unchanged).
+
+    Replay note: with a deterministic `run_id`, re-running a round whose
+    commit already landed appends NOTHING (append_signatures is
+    idempotent on run_id); the recomputed pairs then run against a state
+    that already contains this round's bands — the new docs' rows appear
+    on both sides of the bucket join, which the id_a<id_b normalization
+    + distinct collapse back to the same pair set."""
     # the full equivalence-relevant config is pinned, not just the
     # signature params: a threshold or cap change between rounds silently
     # voids the union==full-re-run contract just as surely as a band

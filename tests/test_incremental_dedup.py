@@ -263,3 +263,39 @@ def test_dedup_extracted_changes_composition(spark, tmpdir_path):
         rendered, k=3, threshold=0.7)
     assert (_pairset(p0) | dset) == _pairset(full)
     assert len(_pairset(full)) >= 9  # engineered dups found
+
+
+def test_round_replay_is_idempotent_on_run_id(spark, tmpdir_path):
+    """Review r5b #3: retrying a round whose state commit already landed
+    (same run_id) must append NOTHING — no duplicate (id, band, band_hash)
+    rows, no bucket-count inflation — and still return the same pairs."""
+    from ocr_toolkit_spark.operators.incremental import (
+        read_signature_state,
+    )
+
+    rows, f0 = _corpus(55, 30, 10, 5)
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    state = os.path.join(tmpdir_path, "sigstate")
+
+    p1 = incremental_dedup_round(spark, df, df, state, "round-0-1", **CFG)
+    st1 = read_signature_state(spark, state)
+    n_rows_1 = st1.count()
+    from ocr_toolkit_spark import io as tio
+    assert tio.latest_snapshot_id(state) == 1
+
+    # replay the SAME logical round (deterministic run_id, e.g. the CLI's
+    # interval-derived one)
+    p2 = incremental_dedup_round(spark, df, df, state, "round-0-1", **CFG)
+    st2 = read_signature_state(spark, state)
+    assert st2.count() == n_rows_1            # nothing appended
+    assert tio.latest_snapshot_id(state) == 1  # no new snapshot
+    assert _pairset(p2) == _pairset(p1)        # same verified pairs
+
+    # a genuinely new round still appends
+    more, _ = _corpus(56, 10, 5, 5, start_id=5000, base_pool=f0)
+    union = spark.createDataFrame(rows + more, "doc_id int, text string")
+    incremental_dedup_round(
+        spark, spark.createDataFrame(more, "doc_id int, text string"),
+        union, state, "round-1", **CFG)
+    assert tio.latest_snapshot_id(state) == 2
+    assert read_signature_state(spark, state).count() > n_rows_1
