@@ -577,16 +577,26 @@ def test_snapshot_log_random_run_sequences(tmpdir_path):
     for trial in range(5):
         table = os.path.join(tmpdir_path, f"snaplog{trial}")
         expected: dict[str, str] = {}
+        rows_expected: dict[str, str] = {}  # append-only fold (row changes)
         prefixes = []
+        rows_prefixes = []
         commit_log: list[dict[str, str]] = []  # each commit's claim set
         for i in range(rng.randrange(2, 7)):
             run = f"run-{i}"
             pids = rng.sample(range(16), rng.randrange(1, 6))
-            tio.snapshot_commit(table, run, pids)
-            commit_log.append({str(p): run for p in pids})
+            # ~1/4 of commits are row-preserving rewrites ("replace", the
+            # compaction operation): ownership folds include them, but
+            # incremental scans must NOT report them as changes (r5)
+            op = "replace" if rng.random() < 0.25 else "append"
+            tio.snapshot_commit(table, run, pids, operation=op)
+            commit_log.append(
+                {str(p): run for p in pids} if op == "append" else {})
             for p in pids:
                 expected[str(p)] = run
+                if op == "append":
+                    rows_expected[str(p)] = run
             prefixes.append(dict(expected))
+            rows_prefixes.append(dict(rows_expected))
         snaps = tio.snapshots(table)
         assert [s["snapshot_id"] for s in snaps] == list(
             range(1, len(prefixes) + 1))
@@ -602,14 +612,16 @@ def test_snapshot_log_random_run_sequences(tmpdir_path):
             a = rng.randrange(0, n + 1)
             b = rng.randrange(a, n + 1)
             got = tio.changed_partitions_between(table, a, b)
-            before = prefixes[a - 1] if a >= 1 else {}
-            after = prefixes[b - 1] if b >= 1 else {}
             want_changed = {}
             for i in range(a, b):  # commits a+1..b are prefixes[a..b-1]
                 for p, r in commit_log[i].items():
                     want_changed[p] = r
             assert got == want_changed, (trial, a, b)
-            # and the changed set composed onto 'before' gives 'after'
-            merged = dict(before)
+            # composition holds at the ROW level: "replace" commits
+            # rearrange files without changing rows, so the changed set
+            # composed onto the append-only prefix fold reproduces it
+            rows_before = rows_prefixes[a - 1] if a >= 1 else {}
+            rows_after = rows_prefixes[b - 1] if b >= 1 else {}
+            merged = dict(rows_before)
             merged.update(got)
-            assert merged == after, (trial, a, b)
+            assert merged == rows_after, (trial, a, b)
