@@ -192,6 +192,22 @@ def main() -> int:
         "extract_output_chars": int(agg["sum(n_chars)"]),
     }
     spark.stop()
+    # Driver-parseability contract (r5 verdict #1): the driver captures only
+    # the last ~2000 chars of stdout and parses the final JSON line it finds.
+    # The per-query `detail` blob made the single output line longer than
+    # that window, so it arrived front-truncated and unparseable. Emit the
+    # detail on its OWN line first (and persist it to a file for humans),
+    # then print the compact summary — short by construction — as the LAST
+    # line, so the tail window always ends with one complete JSON object.
+    detail = out.pop("detail")
+    detail_file = os.path.join(_REPO, "BENCH", "bench_detail_last.json")
+    try:
+        with open(detail_file, "w") as f:
+            json.dump({"detail": detail, "summary": out}, f, indent=1)
+        out["detail_file"] = os.path.relpath(detail_file, _REPO)
+    except OSError:
+        pass
+    print(json.dumps({"detail": detail}))
     print(json.dumps(out))
     return 0
 

@@ -470,6 +470,12 @@ def _process_batch(
         row_mask = s_kind == "table_row"
         row_idx = np.nonzero(row_mask)[0]
         _OVERFLOW_ERR = "OverflowError: cannot convert float infinity to integer"
+        # one per-doc budget across BOTH sheet phases (ADVICE r5 #3): the
+        # cell-formatting pass records each doc's consumed seconds so the
+        # segmentation/assembly clock starts already-charged — a
+        # pathological doc aborts at ~budget total, not ~2× (matching the
+        # reference's single per-file timeout, openocr_doc_handler.py).
+        cells_elapsed: dict[int, float] = {}
         if len(row_idx) == 0:
             fmt_lists = []
         elif budget_s is None:
@@ -536,6 +542,7 @@ def _process_batch(
                     # placeholders keep the fmt_lists cursor doc-aligned
                     fmt_lists.extend([[]] * (e0 - s0))
                     continue
+                cells_elapsed[d] = time.perf_counter() - t_cells
                 if any_nonfinite:
                     errors[d] = _OVERFLOW_ERR
                 fmt_flat[done:] = ""
@@ -608,7 +615,9 @@ def _process_batch(
                 # (guard on budget_s: with no budget _timeout_err is "",
                 # which would match every clean doc's empty error slot)
                 over_doc = budget_s is not None and errors[d] == _timeout_err
-                t_doc = time.perf_counter()
+                # start the assembly clock already charged with the doc's
+                # cell-formatting seconds: one deadline across both phases
+                t_doc = time.perf_counter() - cells_elapsed.get(d, 0.0)
             is_heading = s_kind[j] == "heading"
             if not over_doc and (
                 budget_s is not None

@@ -71,12 +71,31 @@ def signature_state_meta(state_path: str) -> dict | None:
 
 
 def _check_or_write_meta(state_path: str, cfg: dict) -> None:
+    """Pin the state's config, creating `_dedup_meta.json` on first use.
+
+    Cross-process atomic (r5 verdict #3): creation publishes via `os.link`
+    (create-exclusive on POSIX) — two first-ever rounds racing on an empty
+    state dir cannot both win; the loser's FileExistsError falls through
+    to the read-back verify below, so a racing round with a DIFFERENT
+    config raises instead of silently clobbering the pin. Same claim
+    discipline as io.snapshot_commit."""
     existing = signature_state_meta(state_path)
     if existing is None:
         os.makedirs(state_path, exist_ok=True)
-        with open(_meta_path(state_path), "w") as f:
+        import uuid as _uuid
+
+        tmp = os.path.join(
+            state_path, f".{META_FILE}.{_uuid.uuid4().hex}.tmp"
+        )
+        with open(tmp, "w") as f:
             json.dump(cfg, f)
-        return
+        try:
+            os.link(tmp, _meta_path(state_path))  # atomic create-exclusive
+        except FileExistsError:
+            pass  # lost the race — verify the winner's config below
+        finally:
+            os.unlink(tmp)
+        existing = signature_state_meta(state_path)
     if existing != cfg:
         raise ValueError(
             f"signature state at {state_path} was built with {existing}; "
@@ -106,7 +125,19 @@ def append_signatures(banded: DataFrame, state_path: str, run_id: str) -> int:
     ingest id WITHOUT writing — otherwise the same docs' bands would
     enter the state twice, doubling bucket counts and skewing the star
     guard forever. Use a deterministic run_id per logical round (the CLI
-    derives it from the consumed snapshot interval)."""
+    derives it from the consumed snapshot interval).
+
+    EMPTY frames are refused (ADVICE r5 #1): committing an ingest snapshot
+    with zero parquet rows leaves a tip>0 state directory that
+    read_signature_state cannot read back (no files → no inferable
+    schema), bricking every later round. Callers short-circuit empty
+    deltas before reaching here."""
+    if banded.isEmpty():
+        raise ValueError(
+            "append_signatures: refusing to commit an EMPTY banded frame — "
+            "a zero-row ingest snapshot makes the state unreadable "
+            "(tip>0 with no parquet files). Skip the round instead."
+        )
     tip = tio.latest_snapshot_id(state_path)
     if tip:
         owners = tio.partitions_as_of(state_path, tip)
@@ -159,9 +190,17 @@ def delta_candidate_pairs(
         allb = new_t
     else:
         new_buckets = new_banded.select("band", "band_hash").distinct()
+        # replay safety (ADVICE r5 #2): on a re-run of an already-committed
+        # round the state already holds the new docs' bands; keep exactly
+        # one copy of each (id, band, band_hash) — the _new=true one — or
+        # the doubled rows inflate bucket-size stats and can spuriously
+        # trip the star guard, changing the replayed round's pair set.
+        # Broadcast anti-join on the delta's ids: small by definition,
+        # never shuffles the state.
+        new_ids = new_banded.select("id").distinct()
         touched_old = state_banded.join(
             F.broadcast(new_buckets), ["band", "band_hash"], "left_semi"
-        )
+        ).join(F.broadcast(new_ids), ["id"], "left_anti")
         allb = touched_old.select(
             "id", "band", "band_hash", F.lit(False).alias("_new")
         ).unionByName(new_t)
@@ -231,19 +270,34 @@ def incremental_dedup_round(
     Replay note: with a deterministic `run_id`, re-running a round whose
     commit already landed appends NOTHING (append_signatures is
     idempotent on run_id); the recomputed pairs then run against a state
-    that already contains this round's bands — the new docs' rows appear
-    on both sides of the bucket join, which the id_a<id_b normalization
-    + distinct collapse back to the same pair set."""
+    that already contains this round's bands — the state-side duplicates
+    of the new docs' rows are dropped before bucket stats (ADVICE r5 #2:
+    double-counted rows inflated `_n` and could spuriously trip the star
+    guard), so the replayed round's pair set collapses back to the
+    original's via the id_a<id_b normalization + distinct."""
+    banded = minhash_banded_frame(
+        new_df, id_col, text_col, k=k, n_hashes=n_hashes, bands=bands
+    )
+    if banded.isEmpty():
+        # ADVICE r5 #1: an empty delta round (interval with only replace
+        # snapshots, or no successful docs) must NOT write meta or commit
+        # an ingest snapshot — a zero-row ingest partition would make every
+        # later read_signature_state fail (tip>0 but no parquet files to
+        # infer a schema from). Return an empty verified-pairs frame with
+        # the exact output schema; state and meta untouched.
+        return jaccard_verify(
+            delta_candidate_pairs(banded, None, max_bucket=max_bucket,
+                                  materialize_frames=False),
+            corpus_df, id_col, text_col, k=k, threshold=threshold,
+        )
     # the full equivalence-relevant config is pinned, not just the
     # signature params: a threshold or cap change between rounds silently
     # voids the union==full-re-run contract just as surely as a band
-    # change (review r5 #6)
+    # change (review r5 #6). Pinned only for non-empty rounds, AFTER the
+    # short-circuit above, so an empty round leaves a fresh dir untouched.
     _check_or_write_meta(
         state_path, {"k": k, "n_hashes": n_hashes, "bands": bands,
                      "threshold": threshold, "max_bucket": max_bucket}
-    )
-    banded = minhash_banded_frame(
-        new_df, id_col, text_col, k=k, n_hashes=n_hashes, bands=bands
     )
     state = read_signature_state(spark, state_path)
     cand = delta_candidate_pairs(banded, state, max_bucket=max_bucket,

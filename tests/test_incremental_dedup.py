@@ -299,3 +299,98 @@ def test_round_replay_is_idempotent_on_run_id(spark, tmpdir_path):
         union, state, "round-1", **CFG)
     assert tio.latest_snapshot_id(state) == 2
     assert read_signature_state(spark, state).count() > n_rows_1
+
+
+def test_empty_delta_round_is_a_noop(spark, tmpdir_path):
+    """ADVICE r5 #1: an empty delta round (interval with only replace
+    snapshots / no successful docs) must not write meta or commit an
+    ingest snapshot — a zero-row committed ingest used to make every
+    later read_signature_state fail with UNABLE_TO_INFER_SCHEMA."""
+    from ocr_toolkit_spark import io as tio
+    from ocr_toolkit_spark.operators.dedup import minhash_banded_frame
+
+    state = os.path.join(tmpdir_path, "sigstate")
+    empty = spark.createDataFrame([], "doc_id int, text string")
+
+    # empty round on a FRESH state: no meta, no snapshot, empty pairs with
+    # the exact output schema
+    p = incremental_dedup_round(spark, empty, empty, state, "r-empty", **CFG)
+    assert p.columns == ["id_a", "id_b", "jaccard"]
+    assert p.count() == 0
+    assert signature_state_meta(state) is None
+    assert tio.latest_snapshot_id(state) == 0
+    assert read_signature_state(spark, state) is None
+
+    # real round, then another empty round: state untouched and READABLE
+    rows, _ = _corpus(77, 20, 5, 5)
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    incremental_dedup_round(spark, df, df, state, "r0", **CFG)
+    tip = tio.latest_snapshot_id(state)
+    n = read_signature_state(spark, state).count()
+    p2 = incremental_dedup_round(spark, empty, df, state, "r-empty-2", **CFG)
+    assert p2.count() == 0
+    assert tio.latest_snapshot_id(state) == tip
+    assert read_signature_state(spark, state).count() == n
+
+    # the low-level guard also refuses an explicit empty append
+    ebanded = minhash_banded_frame(empty, k=3, n_hashes=32, bands=8,
+                                   materialize_frame=False)
+    with pytest.raises(ValueError, match="EMPTY banded frame"):
+        append_signatures(ebanded, state, "r-bad")
+
+
+def test_replay_does_not_inflate_star_guard(spark, tmpdir_path):
+    """ADVICE r5 #2: on replay of a committed round, each new doc's bands
+    sit in the state too; the duplicates must be dropped before bucket
+    stats or a bucket between max_bucket/2 and max_bucket doubles past
+    the cap and the replayed round emits star pairs instead of the
+    original round's all-pairs clique."""
+    boiler = " ".join(VOCAB[:12])
+    rows = [(i, boiler) for i in range(4)]  # bucket size 4, cap 5: under cap
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    state = os.path.join(tmpdir_path, "sigstate")
+
+    p1 = incremental_dedup_round(spark, df, df, state, "rid-0",
+                                 max_bucket=5, **CFG)
+    # all-pairs clique over 4 identical docs
+    assert _pairset(p1) == {(a, b) for a in range(4)
+                            for b in range(a + 1, 4)}
+    # replay the SAME round: state already holds these bands; doubled rows
+    # (8 > cap 5) would trip the star guard and shrink the pair set
+    p2 = incremental_dedup_round(spark, df, df, state, "rid-0",
+                                 max_bucket=5, **CFG)
+    assert _pairset(p2) == _pairset(p1)
+
+
+def test_meta_write_is_cross_process_atomic(tmpdir_path):
+    """r5 verdict #3: two first-ever rounds racing on an empty state dir
+    must not both win the `_dedup_meta.json` write — the os.link claim
+    plus read-back-verify means exactly one config is pinned and a loser
+    with a DIFFERENT config raises instead of silently clobbering."""
+    import subprocess
+    import sys as _sys
+
+    state = os.path.join(tmpdir_path, "sigstate")
+    script = (
+        "import sys; sys.path.insert(0, sys.argv[3]);"
+        "from ocr_toolkit_spark.operators.incremental import "
+        "_check_or_write_meta, signature_state_meta;"
+        "cfg = {'k': int(sys.argv[2]), 'bands': 8};"
+        "\ntry:\n"
+        "    _check_or_write_meta(sys.argv[1], cfg)\n"
+        "except ValueError:\n"
+        "    sys.exit(42)  # lost the race, loud mismatch\n"
+        "assert signature_state_meta(sys.argv[1]) == cfg\n"
+        "sys.exit(0)\n"
+    )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    procs = [
+        subprocess.Popen([_sys.executable, "-c", script, state, str(k), repo])
+        for k in (3, 5)  # DIFFERENT configs racing
+    ]
+    rcs = [p.wait(timeout=120) for p in procs]
+    # exactly one winner; the loser exits 42 (loud ValueError), never a
+    # silent double-write
+    assert sorted(rcs) == [0, 42], rcs
+    meta = signature_state_meta(os.path.join(tmpdir_path, "sigstate"))
+    assert meta is not None and meta["k"] in (3, 5)
