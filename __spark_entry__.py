@@ -947,12 +947,87 @@ def q_ivf_topk(spark, sf_dir):
 
 
 def q_embedding_near_dups(spark, sf_dir):
-    from ocr_toolkit_spark.operators.similarity import embedding_near_dups
+    """Self-validating in-output (r5 verdict #7 — the last entry that had
+    neither an oracle nor an in-output bound): every emitted pair's `sim`
+    is the exact cosine computed from the payload vectors at verification
+    time, and the output carries the bound itself (min_sim ≥ threshold ⇒
+    meets_threshold) plus the capped-bucket totals, the same pattern as
+    minhash/simhash. The SRP-bucketed frame is materialized ONCE and
+    shared by the pair join and the caps report (no double bucketing)."""
+    from ocr_toolkit_spark.operators.similarity import (
+        cosine,
+        make_srp_bucketer,
+    )
+    from ocr_toolkit_spark.operators.skew import (
+        materialize,
+        oversized_bucket_stats,
+        star_capped_pairs,
+    )
 
     e = _t(spark, sf_dir, "embeddings")
     dim = len(e.select("embedding").first()[0])
-    pairs = embedding_near_dups(e, dim=dim, threshold=0.9, n_bits=8)
-    return pairs.agg(F.count("*").alias("near_dup_pairs"))
+    bucketer = make_srp_bucketer(dim, 8, 42)
+    v = materialize(
+        e.select(
+            F.col("vec_id").alias("id"),
+            F.col("embedding").alias("vec"),
+            bucketer(F.col("embedding")).alias("bucket"),
+        )
+    )
+    pairs = materialize(
+        star_capped_pairs(v, ["bucket"], "id", payload_cols=("vec",),
+                          materialize_input=False)
+        .withColumn("sim", cosine(F.col("vec_a"), F.col("vec_b")))
+        .filter(F.col("sim") >= 0.9)
+        .select("id_a", "id_b", "sim")
+        .distinct()  # a pair can collide in several buckets
+    )
+    caps = oversized_bucket_stats(v, ["bucket"]).agg(
+        F.count("*").alias("buckets_capped"),
+        F.coalesce(F.sum("pairs_avoided"), F.lit(0)).alias("pairs_avoided"),
+    )
+    # recall side of the bound (the lsh/ivf floor pattern): a 5-query
+    # exact brute-force slice. Every SRP pair already passed the exact
+    # cosine filter (⊆ exact by construction), so count equality on the
+    # slice ⟺ the bucketed path missed nothing there — non-vacuous even
+    # when the corpus holds zero near-dups (0 == 0 is a real statement
+    # that nothing was missed, where min_sim alone would be).
+    q5 = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    exact_slice = (
+        e.crossJoin(F.broadcast(q5))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .withColumn("sim", cosine(F.col("qv"), F.col("embedding")))
+        .filter(F.col("sim") >= 0.9)
+        .select(
+            F.least("qid", "vec_id").alias("a"),
+            F.greatest("qid", "vec_id").alias("b"),
+        )
+        .distinct()
+    )
+    srp_slice = pairs.filter(
+        (F.col("id_a") < 5) | (F.col("id_b") < 5)
+    ).select("id_a", "id_b").distinct()
+    slice_counts = (
+        exact_slice.agg(F.count("*").alias("slice_pairs_exact"))
+        .crossJoin(srp_slice.agg(F.count("*").alias("slice_pairs_srp")))
+        .withColumn(
+            "slice_recall_ok",
+            F.col("slice_pairs_srp") == F.col("slice_pairs_exact"),
+        )
+    )
+    return (
+        pairs.agg(
+            F.count("*").alias("near_dup_pairs"),
+            F.round(F.coalesce(F.min("sim"), F.lit(1.0)), 4).alias("min_sim"),
+            F.lit(0.9).alias("sim_threshold"),
+            (F.coalesce(F.min("sim"), F.lit(1.0)) >= 0.9).alias(
+                "meets_threshold"),
+        )
+        .crossJoin(caps)
+        .crossJoin(slice_counts)
+    )
 
 
 def q_media_features(spark, sf_dir):
@@ -984,6 +1059,75 @@ def q_media_features(spark, sf_dir):
         )
         .orderBy("media_type")
     )
+
+
+def q_ivf_index_delta(spark, sf_dir):
+    """Incremental IVF index, SELF-VALIDATING (r5 verdict #8 — the
+    delta-dedup shape for ANN): embeddings split 80/20 into a base build
+    (quantizer trained once, pinned) and a delta append (assigned with
+    the FROZEN quantizer — O(delta), drift-gated). The output carries the
+    equivalence proof: recall@10 vs in-query exact brute force for BOTH
+    the delta-appended index and a full union rebuild, their difference,
+    and the delta's quantization-error ratio (must sit under the pinned
+    drift trigger)."""
+    import shutil
+    import tempfile
+
+    from ocr_toolkit_spark.operators.ivf_index import (
+        append_ivf_index,
+        build_ivf_index,
+        ivf_index_topk,
+    )
+    from ocr_toolkit_spark.operators.similarity import brute_force_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    dim = len(e.select("embedding").first()[0])
+    base = e.filter(F.col("vec_id") % 10 < 8)
+    delta = e.filter(F.col("vec_id") % 10 >= 8)
+    q = e.filter(F.col("vec_id") < 5)
+
+    root = tempfile.mkdtemp(prefix="ivf_index_delta_")
+    idx, idx_full = f"{root}/delta", f"{root}/full"
+    try:
+        build_ivf_index(spark, base, dim, idx, "base", n_centroids=16)
+        arep = append_ivf_index(spark, delta, idx, "delta-1")
+        build_ivf_index(spark, e, dim, idx_full, "full", n_centroids=16)
+
+        bf = brute_force_topk(e, q, k=10)
+        ann_d = ivf_index_topk(spark, q, idx, k=10, n_probe=8)
+        ann_f = ivf_index_topk(spark, q, idx_full, k=10, n_probe=8)
+        rep = (
+            _ann_recall_report(ann_d, bf, k=10, floor=0.65)
+            .select(
+                "queries", "k",
+                F.col("mean_recall").alias("recall_delta_index"),
+                F.col("meets_floor").alias("delta_meets_floor"),
+            )
+            .crossJoin(
+                _ann_recall_report(ann_f, bf, k=10, floor=0.65).select(
+                    F.col("mean_recall").alias("recall_full_rebuild")
+                )
+            )
+            .withColumn(
+                "recall_parity_ok",
+                F.abs(
+                    F.col("recall_delta_index")
+                    - F.col("recall_full_rebuild")
+                ) <= 0.05,
+            )
+            .crossJoin(
+                base.agg(F.count("*").alias("base_vecs")).crossJoin(
+                    delta.agg(F.count("*").alias("delta_vecs"))
+                )
+            )
+            .withColumn("delta_qerr_ratio", F.lit(arep["qerr_ratio"]))
+        )
+        # the report still reads the scratch index dirs — pin the rows
+        # before deleting them (the q_delta_dedup precedent)
+        rep = rep.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return rep
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1035,6 +1179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_qa": q_corpus_qa,
         "approx_quantiles": q_approx_quantiles,
         "embedding_near_dups": q_embedding_near_dups,
+        "ivf_index_delta": q_ivf_index_delta,
     }
 
 

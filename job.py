@@ -85,6 +85,16 @@ def main(argv: list[str] | None = None) -> int:
                         "cost tracks the delta, not the table. Retrying "
                         "the same (FROM, TO] interval is safe: the state "
                         "append is idempotent on the interval")
+    p.add_argument("--state-gc", nargs=3,
+                   metavar=("STATE_PATH", "TOMBSTONES_PARQUET",
+                            "CORPUS_PARQUET"),
+                   help="signature-state GC: drop tombstoned docs' bands "
+                        "from the dedup state (partition-level rewrite, "
+                        "operation=delete snapshot) and print the "
+                        "Jaccard-verified repair pairs that re-point "
+                        "star-capped buckets whose min-id rep was "
+                        "tombstoned. TOMBSTONES_PARQUET: one id column; "
+                        "CORPUS_PARQUET: the live (doc_id, text) corpus")
     p.add_argument("--dedup-k", type=int, default=5,
                    help="shingle width for --dedup-delta (must match the "
                         "state's pinned config)")
@@ -204,6 +214,40 @@ def main(argv: list[str] | None = None) -> int:
                           "min_jaccard": agg["min_jaccard"],
                           # dense snapshot ids: the tip IS the commit
                           # count, valid even after expiry pruned history
+                          "state_commits": tio.latest_snapshot_id(state)}))
+        spark.stop()
+        return 0
+    if args.state_gc:
+        from pyspark.sql import functions as F
+
+        from ocr_toolkit_spark import io as tio
+        from ocr_toolkit_spark.operators.incremental import (
+            gc_signature_state,
+        )
+        from ocr_toolkit_spark.session import get_spark
+
+        state, tomb_path, corpus_path = args.state_gc
+        spark = get_spark(app_name="ocr-state-gc", master=args.master)
+        tomb = spark.read.parquet(tomb_path).select(F.col("id"))
+        corpus = spark.read.parquet(corpus_path)
+        # deterministic run_id over the tombstone batch (order-independent
+        # sum of per-id hashes): a retried GC of the same batch is a
+        # no-op rewrite (rows already gone) plus one extra delete
+        # snapshot — harmless, loud in the log
+        batch_id = tomb.agg(
+            F.sum(F.xxhash64(F.col("id").cast("string")))
+        ).collect()[0][0]
+        repair = gc_signature_state(
+            spark, tomb, corpus, state, run_id=f"state-gc-{batch_id}",
+        )
+        agg = repair.agg(
+            F.count("*").alias("repair_pairs"),
+            F.round(F.coalesce(F.min("jaccard"), F.lit(1.0)), 4).alias(
+                "min_jaccard"),
+        ).collect()[0]
+        print(json.dumps({"tombstones": tomb.count(),
+                          "repair_pairs": agg["repair_pairs"],
+                          "min_jaccard": agg["min_jaccard"],
                           "state_commits": tio.latest_snapshot_id(state)}))
         spark.stop()
         return 0

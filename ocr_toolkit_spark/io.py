@@ -399,11 +399,12 @@ def detect_partition_col(path: str) -> str:
             "compact/report cannot pick a partition column"
         )
     key = keys.pop()
-    if key not in ("partition_id", "batch_id"):
+    if key not in ("partition_id", "batch_id", "ingest_id"):
         raise ValueError(
             f"unrecognized partition layout '{key}=' under {path}; "
             "this engine's tables partition on partition_id (batch "
-            "pipeline) or batch_id (streaming sink) — refusing to guess"
+            "pipeline), batch_id (streaming sink) or ingest_id "
+            "(dedup signature state) — refusing to guess"
         )
     return key
 
@@ -414,7 +415,7 @@ def compact_extracted(
     run_id: str,
     partition_ids: list[int] | None = None,
     files_per_partition: int = 1,
-    sort_cols: tuple[str, ...] = ("doc_id",),
+    sort_cols: tuple[str, ...] | None = None,
     partition_col: str | None = None,
 ) -> dict:
     """Small-file compaction — the Iceberg `rewriteDataFiles` analog and
@@ -432,11 +433,14 @@ def compact_extracted(
     for old snapshots; here old snapshots see the same rows in new
     files). Returns {partitions, files_before, files_after}.
 
-    `sort_cols` (default `("doc_id",)`) sorts rows WITHIN each output
-    file — the Iceberg sort-order-rewrite analog: parquet row-group
-    min/max statistics on the sort key become tight, so point lookups and
-    range scans on it prune row groups instead of reading whole files.
-    Pass `()` to skip sorting.
+    `sort_cols` sorts rows WITHIN each output file — the Iceberg
+    sort-order-rewrite analog: parquet row-group min/max statistics on
+    the sort key become tight, so point lookups and range scans on it
+    prune row groups instead of reading whole files. Default (None) is
+    layout-aware: `("doc_id",)` for data tables, `("band", "band_hash",
+    "id")` for ingest_id-partitioned signature-state tables (tight stats
+    on the bucket key let the delta round's touched-bucket probe prune
+    row groups). Pass `()` to skip sorting.
 
     `partition_col` defaults to auto-detect from the physical layout:
     "partition_id" for batch-pipeline tables, "batch_id" for
@@ -452,6 +456,12 @@ def compact_extracted(
     """
     if partition_col is None:
         partition_col = detect_partition_col(path)
+    if sort_cols is None:
+        sort_cols = (
+            ("band", "band_hash", "id")
+            if partition_col == "ingest_id"
+            else ("doc_id",)
+        )
     tip = latest_snapshot_id(path)
     if partition_ids is None:
         if not tip:

@@ -131,7 +131,19 @@ def append_signatures(banded: DataFrame, state_path: str, run_id: str) -> int:
     with zero parquet rows leaves a tip>0 state directory that
     read_signature_state cannot read back (no files → no inferable
     schema), bricking every later round. Callers short-circuit empty
-    deltas before reaching here."""
+    deltas before reaching here.
+
+    The replay check scans the RETAINED SNAPSHOT HISTORY for the run_id
+    (append operations only), not the current ownership map: maintenance
+    re-claims partitions under its own run_id (compaction "replace", GC
+    "delete"), so an owners-only check would forget a round the moment
+    its partition was compacted and a replay would double the state. The
+    idempotence window therefore equals the retained history — replaying
+    a round OLDER than `expire_signature_state`'s retention is undefined
+    (exactly Iceberg's expired-snapshot boundary) and operators must
+    expire conservatively relative to their retry horizon. Cost:
+    O(retained log) small-file reads per ROUND (not per row) — bounded
+    by expiry."""
     if banded.isEmpty():
         raise ValueError(
             "append_signatures: refusing to commit an EMPTY banded frame — "
@@ -140,10 +152,15 @@ def append_signatures(banded: DataFrame, state_path: str, run_id: str) -> int:
         )
     tip = tio.latest_snapshot_id(state_path)
     if tip:
+        for snap in tio.snapshots(state_path):
+            if (
+                snap["run_id"] == run_id
+                and snap.get("operation", "append") == "append"
+                and snap.get("delta")
+            ):
+                # this round already committed; its ingest id is its claim
+                return min(int(p) for p in snap["delta"])
         owners = tio.partitions_as_of(state_path, tip)
-        for pid, owner in owners.items():
-            if owner == run_id:
-                return int(pid)  # this round already committed
         nxt = max(int(p) for p in owners) + 1
     else:
         nxt = 0
@@ -351,3 +368,159 @@ def dedup_extracted_changes(
     return incremental_dedup_round(
         spark, new_docs, corpus, state_path, run_id, **round_kwargs
     )
+
+
+# --- signature-state maintenance lifecycle (r5 verdict #1) -------------------
+#
+# The state table grows one `ingest_id=N` partition per round forever; at
+# 100 TB its operational cost center is exactly the three ops below. All
+# three commit through the same snapshot log as the data tables, so the
+# whole lifecycle is observable with --list-snapshots/table_report.
+
+
+def expire_signature_state(state_path: str, keep_last: int) -> list[int]:
+    """Drop state snapshot history older than the last `keep_last`
+    commits (io.expire_snapshots over the state's log). Bands are NEVER
+    deleted — only log history — so dedup semantics are untouched; what
+    shrinks is the replay-idempotence window of append_signatures:
+    a round expired out of the log can no longer be recognized as
+    already-committed, so retention must exceed the operator's retry
+    horizon (same contract as Iceberg expireSnapshots vs. job retries)."""
+    return tio.expire_snapshots(state_path, keep_last)
+
+
+def compact_signature_state(
+    spark: SparkSession,
+    state_path: str,
+    run_id: str,
+    files_per_partition: int = 1,
+) -> dict:
+    """Rewrite each ingest partition's small files (io.compact_extracted
+    with partition_col='ingest_id'), sorted by (band, band_hash, id) so
+    parquet row-group min/max stats on the bucket key become tight — the
+    delta round's touched-bucket probe then prunes row groups instead of
+    reading whole ingest files. Rows are identical before and after
+    ("replace" snapshot; incremental consumers unaffected), and replay
+    idempotence survives because append_signatures checks run_ids against
+    the log history, not the post-compaction ownership map. Run quiesced
+    (no concurrent ingest), like any table compaction here."""
+    if tio.latest_snapshot_id(state_path) == 0:
+        raise ValueError(f"no signature state under {state_path}")
+    return tio.compact_extracted(
+        spark,
+        state_path,
+        run_id,
+        partition_col="ingest_id",
+        files_per_partition=files_per_partition,
+        sort_cols=("band", "band_hash", "id"),
+    )
+
+
+def gc_signature_state(
+    spark: SparkSession,
+    tombstones: DataFrame,
+    corpus_df: DataFrame,
+    state_path: str,
+    run_id: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Remove tombstoned docs' bands from the state and return verified
+    REPAIR pairs that preserve keep-first connectivity.
+
+    Why bands of deleted docs cannot simply stay: a star-capped bucket
+    links members only through its min-id rep; if the rep doc is later
+    deleted from the corpus, future rounds' star pairs point at a ghost
+    whose text Jaccard-verification can no longer read — live near-dups
+    in that bucket silently disconnect. And they cannot simply be
+    dropped either: PAST rounds' committed pairs also routed through the
+    rep, so removing it splits the historical component.
+
+    The repair: for every bucket that LOSES its rep (min removed id <
+    min remaining id), re-point — star the remaining members on the new
+    min-id rep, Jaccard-verify those candidates against the live corpus,
+    and return them. Callers prune accumulated pairs touching tombstoned
+    ids and union the repair pairs in; connected-component keep-sets
+    then match a full re-run on the corpus-minus-tombstones
+    (tests/test_state_lifecycle.py pins this, rep-tombstoned capped
+    bucket included).
+
+    Physical shape: only partitions CONTAINING tombstoned rows are
+    rewritten (dynamic overwrite; a partition emptied entirely has its
+    files removed explicitly — dynamic overwrite cannot write an empty
+    partition), committed as an operation="delete" snapshot. Tombstone
+    batches are delta-sized by assumption and broadcast; the state is
+    scanned narrow and never shuffled. Config (k, threshold) comes from
+    the state's pinned meta, so repair verification matches the rounds'.
+
+    `tombstones` is a one-column DataFrame of deleted ids; `corpus_df`
+    is the LIVE corpus (tombstones already removed)."""
+    import shutil
+
+    meta = signature_state_meta(state_path)
+    state = read_signature_state(spark, state_path)
+    if meta is None or state is None:
+        raise ValueError(f"no signature state under {state_path}")
+    tomb = tombstones.toDF("id")
+
+    # buckets that contained a tombstoned doc, with the smallest removed id
+    removed = state.join(F.broadcast(tomb), "id", "left_semi")
+    removed_min = removed.groupBy("band", "band_hash").agg(
+        F.min("id").alias("_rm_min")
+    )
+    # surviving members of those buckets
+    remaining = state.join(
+        F.broadcast(removed_min.select("band", "band_hash")),
+        ["band", "band_hash"],
+        "left_semi",
+    ).join(F.broadcast(tomb), "id", "left_anti")
+    stats = remaining.groupBy("band", "band_hash").agg(
+        F.min("id").alias("_rep"), F.count("*").alias("_n")
+    )
+    # repair only where the bucket's rep was lost and ≥2 members survive
+    # (a conservative superset of the star-capped breakage: uncapped
+    # buckets already hold all-pairs, so the extra verified pairs are
+    # redundant-but-correct, never wrong)
+    need = (
+        stats.join(F.broadcast(removed_min), ["band", "band_hash"])
+        .filter((F.col("_rm_min") < F.col("_rep")) & (F.col("_n") >= 2))
+        .select("band", "band_hash", "_rep")
+    )
+    cand = (
+        remaining.join(F.broadcast(need), ["band", "band_hash"])
+        .filter(F.col("id") != F.col("_rep"))
+        .select(F.col("_rep").alias("id_a"), F.col("id").alias("id_b"))
+        .distinct()
+    )
+    repair = jaccard_verify(
+        cand, corpus_df, id_col, text_col,
+        k=meta["k"], threshold=meta["threshold"],
+    )
+    repair = materialize(repair)  # compute before the rewrite below
+
+    # rewrite only partitions that held tombstoned rows
+    pids = sorted(
+        r[0] for r in removed.select("ingest_id").distinct().collect()
+    )
+    if pids:
+        keep_rows = state.filter(F.col("ingest_id").isin(pids)).join(
+            F.broadcast(tomb), "id", "left_anti"
+        )
+        nonempty = {
+            r[0] for r in keep_rows.select("ingest_id").distinct().collect()
+        }
+        if nonempty:
+            (
+                keep_rows.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("ingest_id")
+                .parquet(state_path)
+            )
+        for pid in pids:
+            if pid not in nonempty:
+                shutil.rmtree(
+                    os.path.join(state_path, f"ingest_id={pid}"),
+                    ignore_errors=True,
+                )
+        tio.snapshot_commit(state_path, run_id, pids, operation="delete")
+    return repair

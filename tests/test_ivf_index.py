@@ -1,0 +1,153 @@
+"""Incremental IVF index (r5 verdict #8): delta appends assign with the
+frozen quantizer, commit through the snapshot log, refuse drifted
+distributions loudly — and delta-indexed recall matches a full rebuild."""
+
+import os
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from ocr_toolkit_spark import io as tio
+from ocr_toolkit_spark.operators.ivf_index import (
+    IvfDriftError,
+    append_ivf_index,
+    build_ivf_index,
+    ivf_index_meta,
+    ivf_index_topk,
+    read_ivf_index,
+)
+from ocr_toolkit_spark.operators.similarity import brute_force_topk
+
+DIM = 16
+N_CLUSTERS = 8
+
+
+def _clustered(seed, n, start_id=0, noise=0.05, centers_seed=7):
+    """Unit vectors tightly packed around N_CLUSTERS shared centers —
+    within-cluster cosine ≫ across, so true neighbors share a cell and
+    recall is deterministic."""
+    rng = np.random.default_rng(seed)
+    crng = np.random.default_rng(centers_seed)
+    centers = crng.standard_normal((N_CLUSTERS, DIM))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    for i in range(n):
+        c = centers[(start_id + i) % N_CLUSTERS]
+        v = c + noise * rng.standard_normal(DIM)
+        v = v / np.linalg.norm(v)
+        rows.append((start_id + i, [float(x) for x in v]))
+    return rows
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+
+
+def _recall(ann, bf):
+    hits = ann.join(
+        bf.select("query_id", "neighbor_id"),
+        ["query_id", "neighbor_id"], "left_semi",
+    ).count()
+    total = bf.count()
+    return hits / total if total else 1.0
+
+
+def test_delta_append_recall_matches_full_rebuild(spark, tmpdir_path):
+    base = _clustered(1, 400)
+    delta = _clustered(2, 100, start_id=1000)
+    union = base + delta
+    queries = _mk(spark, _clustered(3, 10, start_id=5000))
+
+    idx = os.path.join(tmpdir_path, "ivf")
+    rep = build_ivf_index(spark, _mk(spark, base), DIM, idx, "base",
+                          n_centroids=N_CLUSTERS, seed=11)
+    assert rep["n_vectors"] == 400 and rep["base_qerr"] > 0
+    arep = append_ivf_index(spark, _mk(spark, delta), idx, "delta-1")
+    assert arep["ingest_id"] == 1 and arep["n_vectors"] == 100
+    assert arep["qerr_ratio"] < 1.5  # same distribution: no drift
+
+    assert read_ivf_index(spark, idx).count() == 500
+    bf = brute_force_topk(_mk(spark, union), queries, k=5)
+    ann_delta = ivf_index_topk(spark, queries, idx, k=5, n_probe=2)
+    r_delta = _recall(ann_delta, bf)
+
+    # full rebuild on the union (fresh path, re-trained quantizer)
+    idx2 = os.path.join(tmpdir_path, "ivf_full")
+    build_ivf_index(spark, _mk(spark, union), DIM, idx2, "full",
+                    n_centroids=N_CLUSTERS, seed=11)
+    r_full = _recall(ivf_index_topk(spark, queries, idx2, k=5, n_probe=2), bf)
+
+    assert r_delta >= 0.9 and r_full >= 0.9
+    assert abs(r_delta - r_full) <= 0.05  # delta path ≈ full rebuild
+
+
+def test_append_idempotent_on_run_id(spark, tmpdir_path):
+    idx = os.path.join(tmpdir_path, "ivf")
+    build_ivf_index(spark, _mk(spark, _clustered(4, 100)), DIM, idx, "base",
+                    n_centroids=N_CLUSTERS)
+    d = _mk(spark, _clustered(5, 40, start_id=1000))
+    append_ivf_index(spark, d, idx, "round-1")
+    n = read_ivf_index(spark, idx).count()
+    tip = tio.latest_snapshot_id(idx)
+
+    rep = append_ivf_index(spark, d, idx, "round-1")  # replay
+    assert rep.get("replayed") and rep["ingest_id"] == 1
+    assert tio.latest_snapshot_id(idx) == tip
+    assert read_ivf_index(spark, idx).count() == n
+
+
+def test_drift_trigger_demands_retrain(spark, tmpdir_path):
+    idx = os.path.join(tmpdir_path, "ivf")
+    # tight base → small base_qerr; drifted delta from FRESH random
+    # centers quantizes much worse against the frozen quantizer
+    build_ivf_index(spark, _mk(spark, _clustered(6, 200, noise=0.02)),
+                    DIM, idx, "base", n_centroids=N_CLUSTERS,
+                    drift_ratio=2.0)
+    drifted = _clustered(7, 50, start_id=1000, noise=0.02, centers_seed=99)
+    with pytest.raises(IvfDriftError, match="Rebuild the index"):
+        append_ivf_index(spark, _mk(spark, drifted), idx, "bad-delta")
+    # nothing committed by the refused append
+    assert tio.latest_snapshot_id(idx) == 1
+    assert read_ivf_index(spark, idx).count() == 200
+
+    # an in-distribution delta still appends fine afterwards
+    ok = append_ivf_index(
+        spark, _mk(spark, _clustered(8, 50, start_id=2000, noise=0.02)),
+        idx, "good-delta")
+    assert ok["ingest_id"] == 1 + 1 - 1  # next id after base = 1
+    assert ok["qerr_ratio"] <= 2.0
+
+
+def test_empty_delta_refused_and_meta_pinned(spark, tmpdir_path):
+    idx = os.path.join(tmpdir_path, "ivf")
+    build_ivf_index(spark, _mk(spark, _clustered(9, 80)), DIM, idx, "base",
+                    n_centroids=N_CLUSTERS)
+    meta = ivf_index_meta(idx)
+    assert meta["n_centroids"] == N_CLUSTERS and meta["base_qerr"] > 0
+    empty = spark.createDataFrame([], "vec_id int, embedding array<float>")
+    with pytest.raises(ValueError, match="EMPTY delta"):
+        append_ivf_index(spark, empty, idx, "r-empty")
+    # double-build into the same path is refused (quantizer pin is
+    # create-exclusive)
+    with pytest.raises(ValueError, match="already initialized"):
+        build_ivf_index(spark, _mk(spark, _clustered(9, 80)), DIM, idx,
+                        "base2", n_centroids=N_CLUSTERS)
+
+
+def test_probe_filter_prunes_cell_partitions(spark, tmpdir_path):
+    """Scale shape: the probed-cell filter must land on the physical
+    `cell` partition column so unprobed cells are pruned at file-listing
+    time, not scanned."""
+    idx = os.path.join(tmpdir_path, "ivf")
+    build_ivf_index(spark, _mk(spark, _clustered(10, 200)), DIM, idx,
+                    "base", n_centroids=N_CLUSTERS)
+    queries = _mk(spark, _clustered(11, 3, start_id=5000))
+    out = ivf_index_topk(spark, queries, idx, k=5, n_probe=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    # the cell filter appears in PartitionFilters (pruning), not only as
+    # a post-scan Filter
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert any("cell" in ln for ln in pf), pf

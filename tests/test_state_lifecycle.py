@@ -1,0 +1,275 @@
+"""Signature-state maintenance lifecycle (r5 verdict #1): the delta-dedup
+state table must survive expiry, compaction, and tombstone GC with
+keep-first connectivity intact — pair/keep sym-diff 0 against full
+re-runs at every stage."""
+
+import os
+import random
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from ocr_toolkit_spark import io as tio
+from ocr_toolkit_spark.operators.cc import near_dedup_keep_first
+from ocr_toolkit_spark.operators.dedup import (
+    jaccard_verify,
+    minhash_lsh_candidates,
+)
+from ocr_toolkit_spark.operators.incremental import (
+    compact_signature_state,
+    expire_signature_state,
+    gc_signature_state,
+    incremental_dedup_round,
+    read_signature_state,
+)
+
+VOCAB = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+         "lambda mu nu xi omicron pi rho sigma tau upsilon").split()
+CFG = dict(k=3, n_hashes=32, bands=8, threshold=0.8)
+
+
+def _corpus(seed, n_base, n_exact, n_near, start_id=0, base_pool=None):
+    rng = random.Random(seed)
+    fresh = [" ".join(rng.choice(VOCAB) for _ in range(25)) + f" u{start_id + i}"
+             for i in range(n_base)]
+    pool = list(base_pool or []) + fresh
+    rows = [(start_id + i, fresh[i]) for i in range(n_base)]
+    nid = start_id + n_base
+    for _ in range(n_exact):
+        rows.append((nid, pool[rng.randrange(len(pool))])); nid += 1
+    for _ in range(n_near):
+        toks = pool[rng.randrange(len(pool))].split()
+        toks[rng.randrange(len(toks) - 1)] = rng.choice(VOCAB)
+        rows.append((nid, " ".join(toks))); nid += 1
+    return rows, fresh
+
+
+def _full_pairs(df, max_bucket=256):
+    cand = minhash_lsh_candidates(df, k=CFG["k"], n_hashes=CFG["n_hashes"],
+                                  bands=CFG["bands"], max_bucket=max_bucket)
+    return jaccard_verify(cand, df, k=CFG["k"], threshold=CFG["threshold"])
+
+
+def _pairset(pairs_df):
+    return {(r.id_a, r.id_b) for r in pairs_df.select("id_a", "id_b").collect()}
+
+
+def _keep(corpus_df, pairset):
+    pairs = corpus_df.sparkSession.createDataFrame(
+        sorted(pairset) or [(None, None)], "id_a int, id_b int"
+    ).filter("id_a is not null").withColumn("jaccard", F.lit(1.0))
+    return {r.doc_id for r in near_dedup_keep_first(corpus_df, pairs).collect()}
+
+
+def test_compaction_preserves_delta_rounds(spark, tmpdir_path):
+    """File-level compaction of the ingest partitions: rows identical,
+    files collapse to 1/partition, the NEXT delta round's verified pairs
+    are identical to an uncompacted twin state's, and replaying an
+    already-committed round after compaction still appends nothing (the
+    run_id check reads log history, which compaction's 'replace' claims
+    do not shadow)."""
+    r0, f0 = _corpus(21, 30, 10, 8)
+    r1, f1 = _corpus(22, 15, 6, 6, start_id=1000, base_pool=f0)
+    r2, _ = _corpus(23, 12, 5, 5, start_id=2000, base_pool=f0 + f1)
+    sA = os.path.join(tmpdir_path, "stateA")  # compacted mid-sequence
+    sB = os.path.join(tmpdir_path, "stateB")  # never compacted
+
+    df0 = spark.createDataFrame(r0, "doc_id int, text string")
+    u1 = spark.createDataFrame(r0 + r1, "doc_id int, text string")
+    df1 = spark.createDataFrame(r1, "doc_id int, text string")
+    u2 = spark.createDataFrame(r0 + r1 + r2, "doc_id int, text string")
+    df2 = spark.createDataFrame(r2, "doc_id int, text string")
+
+    pairs = {"A": set(), "B": set()}
+    for s, key in ((sA, "A"), (sB, "B")):
+        pairs[key] |= _pairset(
+            incremental_dedup_round(spark, df0, df0, s, "r0", **CFG))
+        pairs[key] |= _pairset(
+            incremental_dedup_round(spark, df1, u1, s, "r1", **CFG))
+
+    n_before = read_signature_state(spark, sA).count()
+    rep = compact_signature_state(spark, sA, "compact-1")
+    assert rep["partition_col"] == "ingest_id"
+    assert rep["files_after"] == rep["partitions"] <= rep["files_before"]
+    assert read_signature_state(spark, sA).count() == n_before
+
+    # replay of r1 AFTER compaction: history check holds, nothing appended
+    tip = tio.latest_snapshot_id(sA)
+    p_replay = incremental_dedup_round(spark, df1, u1, sA, "r1", **CFG)
+    assert tio.latest_snapshot_id(sA) == tip
+    assert read_signature_state(spark, sA).count() == n_before
+    assert _pairset(p_replay) <= pairs["A"]
+
+    # next real round: compacted and uncompacted twins agree exactly
+    pA = _pairset(incremental_dedup_round(spark, df2, u2, sA, "r2", **CFG))
+    pB = _pairset(incremental_dedup_round(spark, df2, u2, sB, "r2", **CFG))
+    assert pA == pB
+    assert (pairs["A"] | pA) == (pairs["B"] | pB) == _pairset(_full_pairs(u2))
+
+
+def test_expiry_window_and_boundary(spark, tmpdir_path):
+    """Expiry trims log history only — bands stay, future rounds work,
+    replay of RETAINED rounds stays idempotent; replay of an EXPIRED
+    round re-appends (the documented Iceberg-style idempotence boundary:
+    retention must exceed the retry horizon)."""
+    state = os.path.join(tmpdir_path, "sigstate")
+    r0, f0 = _corpus(31, 20, 5, 5)
+    df0 = spark.createDataFrame(r0, "doc_id int, text string")
+    incremental_dedup_round(spark, df0, df0, state, "r0", **CFG)
+    n0 = read_signature_state(spark, state).count()
+
+    # pad the log past the first fold checkpoint so expiry has room
+    # (pure log commits re-claiming ingest 0 — no data written)
+    for i in range(tio.CHECKPOINT_EVERY + 2):
+        tio.snapshot_commit(state, f"pad-{i}", [0])
+    tip = tio.latest_snapshot_id(state)
+    expired = expire_signature_state(state, keep_last=4)
+    assert expired and expired[0] == 1 and max(expired) < tip
+
+    # retained-history replay of a PAD id is recognized... and the real
+    # r0 (snapshot 1) is now EXPIRED: replaying it re-appends — loud in
+    # row count, exactly the documented boundary
+    r1, _ = _corpus(32, 10, 4, 4, start_id=1000, base_pool=f0)
+    u1 = spark.createDataFrame(r0 + r1, "doc_id int, text string")
+    df1 = spark.createDataFrame(r1, "doc_id int, text string")
+    p1 = incremental_dedup_round(spark, df1, u1, state, "r1", **CFG)
+    assert _pairset(p1)
+    n1 = read_signature_state(spark, state).count()
+    assert n1 == n0 + len(r1) * CFG["bands"]
+
+    tip = tio.latest_snapshot_id(state)
+    incremental_dedup_round(spark, df1, u1, state, "r1", **CFG)  # retained
+    assert tio.latest_snapshot_id(state) == tip  # still idempotent
+
+    incremental_dedup_round(spark, df0, u1, state, "r0", **CFG)  # expired
+    assert tio.latest_snapshot_id(state) == tip + 1  # re-appended (boundary)
+
+
+def test_gc_repoints_capped_bucket_rep(spark, tmpdir_path):
+    """THE GC correctness case: the min-id rep of a star-capped bucket is
+    tombstoned. Its bands must leave the state (future stars must not
+    route through a ghost the verifier can't read), and the returned
+    repair pairs must re-point the star at the new min-id rep so the
+    keep-set over (pruned ∪ repair) matches a full re-run on the live
+    corpus."""
+    boiler = " ".join(VOCAB[:12])
+    rows = [(i, boiler) for i in range(8)]  # one bucket, cap 5 → star on 0
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    state = os.path.join(tmpdir_path, "sigstate")
+    p0 = incremental_dedup_round(spark, df, df, state, "r0",
+                                 max_bucket=5, **CFG)
+    assert _pairset(p0) == {(0, b) for b in range(1, 8)}
+
+    live = df.filter("doc_id != 0")
+    tomb = spark.createDataFrame([(0,)], "id int")
+    repair = gc_signature_state(spark, tomb, live, state, "gc-1")
+
+    st = read_signature_state(spark, state)
+    assert st.filter("id = 0").count() == 0
+    assert st.count() == 7 * CFG["bands"]
+    rset = _pairset(repair)
+    assert rset and all(a == 1 for a, _ in rset)  # star on the new rep
+
+    pruned = {(a, b) for a, b in _pairset(p0) if a != 0 and b != 0}
+    assert _keep(live, pruned | rset) == _keep(
+        live, _pairset(_full_pairs(live, max_bucket=5))) == {1}
+    # without the repair, the star is severed: every live doc keeps
+    assert _keep(live, pruned) == {1, 2, 3, 4, 5, 6, 7}
+
+    # the GC snapshot is an operation="delete" claim
+    snaps = tio.snapshots(state)
+    assert snaps[-1]["operation"] == "delete"
+    assert snaps[-1]["run_id"] == "gc-1"
+
+    # a later round against the GC'd state emits pairs only among live ids
+    more = [(100 + i, boiler) for i in range(2)]
+    u = spark.createDataFrame(rows[1:] + more, "doc_id int, text string")
+    dfm = spark.createDataFrame(more, "doc_id int, text string")
+    p1 = incremental_dedup_round(spark, dfm, u, state, "r1",
+                                 max_bucket=5, **CFG)
+    ids = {i for p in _pairset(p1) for i in p}
+    assert ids and 0 not in ids
+
+
+def test_gc_noop_and_emptied_partition(spark, tmpdir_path):
+    """GC of ids absent from the state commits nothing; GC that empties an
+    entire ingest partition removes its files and the state stays
+    readable for further rounds."""
+    state = os.path.join(tmpdir_path, "sigstate")
+    r0, f0 = _corpus(41, 15, 4, 4)
+    df0 = spark.createDataFrame(r0, "doc_id int, text string")
+    incremental_dedup_round(spark, df0, df0, state, "r0", **CFG)
+
+    # a one-doc ingest that will be emptied by GC
+    solo = [(9000, " ".join(random.Random(5).choice(VOCAB) for _ in range(25)))]
+    u1 = spark.createDataFrame(r0 + solo, "doc_id int, text string")
+    dfs = spark.createDataFrame(solo, "doc_id int, text string")
+    incremental_dedup_round(spark, dfs, u1, state, "r1", **CFG)
+    assert os.path.isdir(os.path.join(state, "ingest_id=1"))
+
+    tip = tio.latest_snapshot_id(state)
+    ghost = spark.createDataFrame([(123456,)], "id int")
+    rep = gc_signature_state(spark, ghost, df0, state, "gc-none")
+    assert rep.count() == 0
+    assert tio.latest_snapshot_id(state) == tip  # no-op: no commit
+
+    tomb = spark.createDataFrame([(9000,)], "id int")
+    gc_signature_state(spark, tomb, df0, state, "gc-solo")
+    assert not os.path.isdir(os.path.join(state, "ingest_id=1"))
+    st = read_signature_state(spark, state)
+    assert st.filter("ingest_id = 1").count() == 0
+    assert st.count() == len(r0) * CFG["bands"]
+
+    # further rounds proceed on the partially-GC'd state
+    r2, _ = _corpus(42, 8, 3, 3, start_id=2000, base_pool=f0)
+    u2 = spark.createDataFrame(r0 + r2, "doc_id int, text string")
+    df2 = spark.createDataFrame(r2, "doc_id int, text string")
+    p2 = incremental_dedup_round(spark, df2, u2, state, "r2", **CFG)
+    assert _pairset(p2) == {
+        p for p in _pairset(_full_pairs(u2))
+        if p[0] >= 2000 or p[1] >= 2000
+    }
+
+
+def test_full_lifecycle_sequence(spark, tmpdir_path):
+    """ingest → compact → ingest → GC → ingest: keep-set over the
+    accumulated (pruned ∪ repair) pairs equals the full re-run's on the
+    final live corpus — the multi-round sequence the verdict asked to
+    pin (pair_sym_diff 0 before/after each maintenance op is covered by
+    the per-op tests; this is the composition)."""
+    state = os.path.join(tmpdir_path, "sigstate")
+    r0, f0 = _corpus(51, 25, 8, 6)
+    r1, f1 = _corpus(52, 12, 5, 5, start_id=1000, base_pool=f0)
+    r2, _ = _corpus(53, 10, 4, 4, start_id=2000, base_pool=f0 + f1)
+
+    df0 = spark.createDataFrame(r0, "doc_id int, text string")
+    acc = _pairset(incremental_dedup_round(spark, df0, df0, state, "r0", **CFG))
+
+    compact_signature_state(spark, state, "compact-1")
+
+    u1 = spark.createDataFrame(r0 + r1, "doc_id int, text string")
+    df1 = spark.createDataFrame(r1, "doc_id int, text string")
+    acc |= _pairset(incremental_dedup_round(spark, df1, u1, state, "r1", **CFG))
+
+    # tombstone three docs from round 0 (ids engineered to exist)
+    dead = [r0[0][0], r0[3][0], r0[-1][0]]
+    live_rows = [r for r in r0 + r1 if r[0] not in dead]
+    live = spark.createDataFrame(live_rows, "doc_id int, text string")
+    tomb = spark.createDataFrame([(d,) for d in dead], "id int")
+    repair = gc_signature_state(spark, tomb, live, state, "gc-1")
+    acc = {(a, b) for a, b in acc if a not in dead and b not in dead}
+    acc |= _pairset(repair)
+
+    u2 = spark.createDataFrame(live_rows + r2, "doc_id int, text string")
+    df2 = spark.createDataFrame(r2, "doc_id int, text string")
+    acc |= _pairset(incremental_dedup_round(spark, df2, u2, state, "r2", **CFG))
+
+    full = _pairset(_full_pairs(u2))
+    assert _keep(u2, acc) == _keep(u2, full)
+    # no bucket caps fire in this sequence, so the accumulated set must
+    # agree with the full re-run EXACTLY: pruning only removed
+    # tombstone-touching pairs, repair pairs are verified live pairs from
+    # the same LSH buckets (⊆ full), and each round emitted all-pairs
+    assert acc == full
+    assert len(full) > 15  # engineered duplicates actually exercised
