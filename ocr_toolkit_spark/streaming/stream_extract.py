@@ -62,6 +62,8 @@ def stream_extract_committed(
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
     n_buckets: int = 64,
+    codec: str = "zstd",
+    max_records_per_file: int | None = None,
 ) -> StreamingQuery:
     """Streaming extraction with SNAPSHOT COMMITS: every micro-batch lands
     as one snapshot in the output table's log — the Iceberg streaming-
@@ -94,7 +96,20 @@ def stream_extract_committed(
     `read_extracted_changes(..., partition_col="batch_id")` reads just the
     batches an incremental consumer hasn't seen; `expire_snapshots` prunes
     history. The snapshot 'partition' dimension here is the BATCH — the
-    streaming analog of the batch pipeline's bucket partitions."""
+    streaming analog of the batch pipeline's bucket partitions.
+
+    Sink encoding (r5 verdict #6, measured in BENCH/sink_size.json): the
+    default codec is **zstd** — on the redundant fixture corpus a
+    100k-doc flat file overflows parquet's 1 MB dictionary page on
+    out_spans.text and snappy's PLAIN fallback balloons the table
+    (363 MB vs 158 MB zstd for the same batch; 3.68 GB vs ~1.6 GB at
+    1M), while write/read times are equal within noise and zstd also
+    compresses mostly-unique real text better than snappy.
+    `max_records_per_file` stays an opt-in knob: capping at ~2k rows/file
+    keeps every file inside the dictionary page (36–54 MB for the same
+    batch) but costs ~50 files per batch directory — the file-count
+    growth the flat layout exists to avoid — so it is for extreme-
+    redundancy corpora only."""
     import hashlib
     import os
 
@@ -140,12 +155,15 @@ def stream_extract_committed(
         out = with_partition_id(df, n_buckets).withColumn(
             "batch_id", F.lit(b)
         )
-        (
+        w = (
             out.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
+            .option("compression", codec)
             .partitionBy("batch_id")
-            .parquet(output_dir)
         )
+        if max_records_per_file:
+            w = w.option("maxRecordsPerFile", max_records_per_file)
+        w.parquet(output_dir)
         tio.snapshot_commit(output_dir, run_id, [b])
 
     writer = (
