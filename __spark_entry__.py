@@ -435,14 +435,19 @@ def q_tpch_q1(spark, sf_dir):
 
 
 def q_tpch_q3_topk(spark, sf_dir):
-    """TPC-H Q3 shipping priority — 3-way join + agg + top-k."""
+    """TPC-H Q3 shipping priority — 3-way join + agg + top-k.
+
+    Same fact-side pin as q_tpch_q5 (r6): lineitem streams and shuffles
+    on l_orderkey; without the hint its borderline ~10 MB scan estimate
+    intermittently made the FACT the broadcast build side."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     dec = lambda col: F.col(col).cast("decimal(18,4)")
     return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        li.hint("shuffle_hash")
+        .join(c.join(o, c.c_custkey == o.o_custkey),
+              F.col("o_orderkey") == li.l_orderkey)
         .groupBy("o_orderkey", "o_orderdate")
         .agg(
             F.sum(
@@ -461,7 +466,21 @@ def q_tpch_q5(spark, sf_dir):
     (r3 verdict #8): customer ⋈ orders ⋈ lineitem ⋈ supplier fact chain
     with the c_nationkey = s_nationkey co-location constraint, then the
     tiny nation/region dims BROADCAST (explicit hint — at 100 TB the fact
-    chain shuffles on its keys while the dims ship to every executor)."""
+    chain shuffles on its keys while the dims ship to every executor).
+
+    Join pin (r6 — the r5 'q5 uptick' was a PLAN FLIP, not the box):
+    lineitem's column-pruned scan estimate sits right at the 10 MB
+    autoBroadcastJoinThreshold, so across sessions the planner
+    alternated between the fact-chain-shuffles plan (r4's 0.95 s) and a
+    degenerate one that made the 600k-row FACT the broadcast BUILD side
+    — a single-threaded hash build of the biggest table per run (the
+    1.2–1.6 s r5/r6 saw; measured head-to-head in r6:
+    broadcast-fact 1.20 / SMJ 1.10 / shuffle_hash 1.07 / broadcast-co
+    0.88). The `shuffle_hash` hint on lineitem pins the scale-honest
+    shape — the fact streams and shuffles on l_orderkey, never builds —
+    which is also what accurate estimates would pick at 100 TB; the
+    0.88 broadcast-co variant is faster HERE but force-broadcasts a
+    join that scales with the data, so it is rejected."""
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     n = _t(spark, sf_dir, "nation")
     c = _t(spark, sf_dir, "customer")
@@ -471,9 +490,10 @@ def q_tpch_q5(spark, sf_dir):
         (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
     )
     dec = lambda col: F.col(col).cast("decimal(18,4)")
+    co = c.join(o, c.c_custkey == o.o_custkey)
     return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        li.hint("shuffle_hash")
+        .join(co, F.col("o_orderkey") == li.l_orderkey)
         .join(
             s,
             (F.col("l_suppkey") == s.s_suppkey)

@@ -293,3 +293,23 @@ def test_aqe_skew_join_splits_hot_key(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_fact_table_never_broadcast_builds(spark):
+    """r6: lineitem's column-pruned scan estimate sits at the 10 MB
+    autoBroadcastJoinThreshold boundary, and without a pin the planner
+    intermittently made the FACT the broadcast build side of the q3/q5
+    join chains — a single-threaded hash build of the biggest table (and
+    an OOM at real scale if estimates ever mislead there). The
+    shuffle_hash pin on the fact side must keep every BroadcastExchange
+    subtree free of the lineitem scan."""
+    import __spark_entry__ as em
+
+    for name in ("tpch_q3_topk", "tpch_q5"):
+        df = em.queries()[name](spark, SF_DIR)
+        df.collect()  # final AQE-resolved plan
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        for seg in plan.split("BroadcastExchange")[1:]:
+            # the build subtree is rendered directly under the exchange;
+            # 1.5k chars covers it without reaching sibling operators
+            assert "lineitem.parquet" not in seg[:1500], name
