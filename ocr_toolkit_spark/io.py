@@ -469,17 +469,35 @@ def compact_extracted(
         partition_ids = sorted(int(p) for p in partitions_as_of(path, tip))
     pids = [int(p) for p in partition_ids]
     if partition_col != "partition_id":
-        # legacy nested layout (batch_id=N/partition_id=M, pre-r5 sink):
-        # compaction FLATTENS, so a partial rewrite would mix directory
-        # depths under one root and break partition discovery — require
-        # the full migration. Current flat tables can compact any subset.
-        nested = any(
-            inner.startswith("partition_id=")
+        # nested second-level partitioning under the primary key:
+        inner_keys = {
+            inner.split("=", 1)[0]
             for name in os.listdir(path)
             if name.startswith(f"{partition_col}=")
             and os.path.isdir(os.path.join(path, name))
             for inner in os.listdir(os.path.join(path, name))
-        )
+            if "=" in inner
+            and os.path.isdir(os.path.join(path, name, inner))
+        }
+        # the IVF index nests ingest_id=N/cell=M where `cell` is a LIVE
+        # pruning dimension (probes prune cell dirs at listing time);
+        # this single-level rewrite would flatten it and silently destroy
+        # probe pruning — refuse (r6; an index-aware rewrite would
+        # partition by both levels)
+        if inner_keys - {"partition_id"}:
+            raise ValueError(
+                f"table {path} nests {sorted(inner_keys)} under "
+                f"{partition_col}=; compact_extracted would flatten that "
+                "layout and destroy its partition pruning — refusing "
+                "(the IVF index table keeps cell= as a live probe-pruning "
+                "dimension; compact it with an index-aware rewrite, not "
+                "this one)"
+            )
+        # legacy nested layout (batch_id=N/partition_id=M, pre-r5 sink):
+        # compaction FLATTENS, so a partial rewrite would mix directory
+        # depths under one root and break partition discovery — require
+        # the full migration. Current flat tables can compact any subset.
+        nested = "partition_id" in inner_keys
         committed = {int(p) for p in partitions_as_of(path, tip)} if tip else set()
         if nested and committed - set(pids):
             raise ValueError(

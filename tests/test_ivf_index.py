@@ -151,3 +151,16 @@ def test_probe_filter_prunes_cell_partitions(spark, tmpdir_path):
     # a post-scan Filter
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert any("cell" in ln for ln in pf), pf
+
+
+def test_generic_compaction_refuses_index_layout(spark, tmpdir_path):
+    """r6: compact_extracted's single-level rewrite would flatten the
+    index's ingest_id=N/cell=M layout and silently destroy probe
+    pruning — it must refuse, not proceed."""
+    from ocr_toolkit_spark import io as tio
+
+    idx = os.path.join(tmpdir_path, "ivf")
+    build_ivf_index(spark, _mk(spark, _clustered(12, 100)), DIM, idx,
+                    "base", n_centroids=N_CLUSTERS)
+    with pytest.raises(ValueError, match="probe-pruning|flatten"):
+        tio.compact_extracted(spark, idx, run_id="bad-compact")
