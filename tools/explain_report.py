@@ -170,6 +170,32 @@ def main() -> int:
         plan_of(cand),
     ))
 
+    # IVF index probe: the probed-cell filter must land on the PHYSICAL
+    # `cell` partition column so unprobed cells are pruned at
+    # file-listing time (PartitionFilters on the scan, nothing read)
+    from ocr_toolkit_spark.operators.ivf_index import (
+        build_ivf_index,
+        ivf_index_topk,
+    )
+
+    idx_dir = os.path.join(d, "ivf_index")
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(vecs.select("embedding").first()[0])
+    build_ivf_index(spark, vecs, dim, idx_dir, "plan-base", n_centroids=16)
+    q = vecs.filter("vec_id < 5")
+    topk = ivf_index_topk(spark, q, idx_dir, k=10, n_probe=4)
+    sections.append((
+        "Incremental IVF index probe",
+        "the committed index is partitioned ingest_id=N/cell=M; the "
+        "probed-cell `isin` filter lands in the scan's PartitionFilters, "
+        "so unprobed cell directories are pruned at FILE-LISTING time — "
+        "at 1000 executors the unprobed ~(1 − n_probe/n_centroids) of "
+        "the index is never opened. Queries are serving-sized and "
+        "broadcast; exact cosine re-ranks inside probed cells with a "
+        "per-query window top-k.",
+        plan_of(topk),
+    ))
+
     out = ["# PLANS — physical plans of the key operators\n",
            "Generated by tools/explain_report.py. Regenerate after plan-"
            "affecting changes.\n",
@@ -199,6 +225,9 @@ def main() -> int:
     assert_single_python_stage(pipe)
     assert "LessThanOrEqual(l_shipdate" in sections[1][2], "filter not pushed"
     assert "ReadSchema" in sections[1][2]
+    assert "PartitionFilters" in sections[-1][2] and (
+        "cell" in sections[-1][2]
+    ), "IVF probe filter did not land on the cell partition column"
     print("plan assertions OK")
     spark.stop()
     return 0
