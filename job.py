@@ -64,6 +64,17 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--table-report", metavar="TABLE_PATH",
                    help="print per-partition file/byte layout + snapshot "
                         "depth and exit (no Spark job)")
+    p.add_argument("--sweep-orphans", metavar="TABLE_PATH",
+                   help="delete partition dirs on disk but absent from "
+                        "the snapshot log (debris of a writer that died "
+                        "before its commit; Iceberg removeOrphanFiles "
+                        "analog) and exit — only dirs older than "
+                        "--orphan-age-s, so an in-flight append is never "
+                        "raced (no Spark job)")
+    p.add_argument("--orphan-age-s", type=float, default=72 * 3600,
+                   help="minimum age (newest mtime, seconds) before "
+                        "--sweep-orphans may delete a partition "
+                        "(default 72h, the Iceberg default)")
     p.add_argument("--read-changes", nargs=3,
                    metavar=("TABLE_PATH", "FROM_SNAPSHOT", "TO_SNAPSHOT"),
                    help="incremental consumer: count rows of partitions "
@@ -162,6 +173,15 @@ def main(argv: list[str] | None = None) -> int:
         rep = tio.table_report(args.table_report)
         rep.pop("by_partition")  # totals only on the CLI
         print(json.dumps(rep))
+        return 0
+    if args.sweep_orphans:
+        from ocr_toolkit_spark import io as tio
+
+        swept = tio.sweep_orphan_partitions(
+            args.sweep_orphans, older_than_s=args.orphan_age_s
+        )
+        print(json.dumps({"swept": swept,
+                          "tip": tio.latest_snapshot_id(args.sweep_orphans)}))
         return 0
     if args.read_changes:
         from ocr_toolkit_spark import io as tio

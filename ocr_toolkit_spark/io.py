@@ -381,6 +381,66 @@ def expire_snapshots(table_path: str, keep_last: int) -> list[int]:
     return expired
 
 
+def sweep_orphan_partitions(
+    table_path: str,
+    older_than_s: float = 72 * 3600,
+    partition_col: str | None = None,
+) -> list[str]:
+    """Iceberg `remove_orphan_files` analog at partition granularity:
+    delete `key=N` directories present on disk but absent from the
+    snapshot log's ownership map — the debris of a writer that died
+    between its parquet write and its snapshot_commit. Reads already
+    exclude such partitions (read_extracted_as_of, read_signature_state,
+    read_ivf_index all filter to committed ids); the sweep reclaims the
+    disk. Also removes a stale Spark `_temporary` staging dir (a write
+    that died mid-job). Returns the removed partition suffixes.
+
+    The age guard is the correctness core: a partition younger than
+    `older_than_s` (newest mtime anywhere under it) may belong to an
+    IN-FLIGHT append whose commit lands milliseconds after the listing —
+    deleting it would let that commit record ownership of vanished
+    files. Iceberg's remove_orphan_files defaults to 3 days for the same
+    race; keep retention above the longest plausible write→commit gap.
+    Runs driver-side only (os.walk over one table root — no Spark job).
+    """
+    import shutil
+    import time
+
+    if not os.path.isdir(table_path):
+        return []
+    if partition_col is None:
+        partition_col = detect_partition_col(table_path)
+    tip = latest_snapshot_id(table_path)
+    owned = set(map(str, partitions_as_of(table_path, tip))) if tip else set()
+    cutoff = time.time() - older_than_s
+
+    def newest_mtime(root: str) -> float:
+        newest = os.path.getmtime(root)
+        for dirpath, dirnames, filenames in os.walk(root):
+            for n in dirnames + filenames:
+                newest = max(newest, os.path.getmtime(os.path.join(dirpath, n)))
+        return newest
+
+    swept = []
+    for name in sorted(os.listdir(table_path)):
+        full = os.path.join(table_path, name)
+        if name == "_temporary" and os.path.isdir(full):
+            if newest_mtime(full) < cutoff:
+                shutil.rmtree(full, ignore_errors=True)
+                swept.append(name)
+            continue
+        if not (os.path.isdir(full) and name.startswith(f"{partition_col}=")):
+            continue
+        suffix = name.split("=", 1)[1]
+        if suffix in owned:
+            continue
+        if newest_mtime(full) >= cutoff:
+            continue  # age guard: possibly an in-flight append
+        shutil.rmtree(full, ignore_errors=True)
+        swept.append(suffix)
+    return swept
+
+
 def detect_partition_col(path: str) -> str:
     """Inspect the table's top-level `key=` directories and return the
     physical partition column ("partition_id" for batch-pipeline tables,

@@ -107,10 +107,24 @@ def _check_or_write_meta(state_path: str, cfg: dict) -> None:
 
 def read_signature_state(spark: SparkSession, state_path: str) -> DataFrame | None:
     """(id, band, band_hash, ingest_id) for every committed ingest, or None
-    before the first round."""
-    if tio.latest_snapshot_id(state_path) == 0:
+    before the first round.
+
+    COMMITTED ingests only: the read filters `ingest_id` to the snapshot
+    log's ownership map (`io.partitions_as_of` at the tip — the
+    read_extracted_as_of discipline). A crash between the parquet write
+    and snapshot_commit leaves a fully-written but UNCOMMITTED ingest
+    directory; a plain directory read would let those bands leak into
+    candidate generation (inflating bucket stats exactly like the replay
+    bug ADVICE r5 #2 fixed) until the retry overwrites them. The filter
+    lands on the physical partition column, so exclusion happens at
+    file-listing time — no orphan file is ever opened."""
+    tip = tio.latest_snapshot_id(state_path)
+    if tip == 0:
         return None
-    return spark.read.parquet(state_path)
+    committed = [int(p) for p in tio.partitions_as_of(state_path, tip)]
+    return spark.read.parquet(state_path).filter(
+        F.col("ingest_id").isin(committed)
+    )
 
 
 def append_signatures(banded: DataFrame, state_path: str, run_id: str) -> int:

@@ -42,9 +42,12 @@ import json
 import os
 
 import numpy as np
+import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
 
 from .. import io as tio
 from .similarity import cosine, make_ivf_assigner, train_ivf_centroids
@@ -103,15 +106,32 @@ def _pin_files(index_path: str, meta: dict, centroids: np.ndarray) -> None:
 
 def _mean_qerr(assigned: DataFrame, centroids: np.ndarray,
                vec_col: str) -> float:
-    """Mean quantization error 1 − cos(v, its centroid) — one narrow agg."""
-    cents = [
-        F.array(*[F.lit(float(x)) for x in c]) for c in centroids
-    ]
-    cent_arr = F.element_at(
-        F.array(*cents), F.col("cell") + 1  # element_at is 1-based
+    """Mean quantization error 1 − cos(v, its centroid) — one narrow agg.
+
+    Centroids ride inside an Arrow-batched pandas UDF closure (the
+    make_ivf_assigner pattern): one numpy gather + row-wise dot per
+    batch. The earlier literal-expression form (array of n_centroids ×
+    dim F.lit's indexed by cell) built an O(n_centroids·dim) Catalyst
+    tree per query — fine at 64 cells, plan-explosive at the thousands a
+    100-TB index wants."""
+    cents = centroids.astype(np.float64)
+    cnorm = cents / np.where(
+        np.linalg.norm(cents, axis=1, keepdims=True) == 0, 1,
+        np.linalg.norm(cents, axis=1, keepdims=True),
     )
+
+    @pandas_udf(T.DoubleType())
+    def qe(vecs: pd.Series, cells: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=float)
+        m = np.stack(vecs.to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        m = m / np.where(norms == 0, 1, norms)
+        own = cnorm[cells.to_numpy().astype(np.int64)]
+        return pd.Series(1.0 - np.einsum("ij,ij->i", m, own))
+
     row = assigned.agg(
-        F.avg(F.lit(1.0) - cosine(F.col(vec_col), cent_arr)).alias("qe")
+        F.avg(qe(F.col(vec_col), F.col("cell"))).alias("qe")
     ).collect()[0]
     return float(row["qe"] or 0.0)
 
@@ -235,9 +255,20 @@ def append_ivf_index(
 
 
 def read_ivf_index(spark: SparkSession, index_path: str) -> DataFrame:
-    if tio.latest_snapshot_id(index_path) == 0:
+    """COMMITTED ingests only (the read_signature_state discipline): a
+    crash between `_write_ingest`'s parquet write and its snapshot_commit
+    leaves a fully-written orphan ingest; filtering `ingest_id` to the
+    log's ownership map keeps those vectors out of query results until
+    the retry overwrites and commits them. Physical partition column →
+    pruned at file-listing time, composing with the probed-`cell` filter
+    in ivf_index_topk."""
+    tip = tio.latest_snapshot_id(index_path)
+    if tip == 0:
         raise ValueError(f"no committed IVF index under {index_path}")
-    return spark.read.parquet(index_path)
+    committed = [int(p) for p in tio.partitions_as_of(index_path, tip)]
+    return spark.read.parquet(index_path).filter(
+        F.col("ingest_id").isin(committed)
+    )
 
 
 def ivf_index_topk(

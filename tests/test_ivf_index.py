@@ -164,3 +164,39 @@ def test_generic_compaction_refuses_index_layout(spark, tmpdir_path):
                     "base", n_centroids=N_CLUSTERS)
     with pytest.raises(ValueError, match="probe-pruning|flatten"):
         tio.compact_extracted(spark, idx, run_id="bad-compact")
+
+
+def test_orphan_uncommitted_ingest_excluded(spark, tmpdir_path):
+    """Crash-consistency of index reads: an ingest partition whose
+    parquet write landed but whose snapshot_commit did not must stay out
+    of read_ivf_index and of query results — an orphan planted as an
+    exact copy of a query vector would otherwise rank #1 with sim 1.0."""
+    idx = os.path.join(tmpdir_path, "ivf")
+    build_ivf_index(spark, _mk(spark, _clustered(13, 200)), DIM, idx,
+                    "base", n_centroids=N_CLUSTERS)
+    queries = _mk(spark, _clustered(14, 3, start_id=5000))
+
+    # orphan = the first query vector itself, written to every cell so it
+    # is guaranteed to sit inside a probed partition if it leaks
+    qv = queries.limit(1).collect()[0]["embedding"]
+    orphan = spark.createDataFrame(
+        [(8000 + c, qv, c) for c in range(N_CLUSTERS)],
+        "vec_id int, embedding array<float>, cell int",
+    ).withColumn("ingest_id", F.lit(7))
+    orphan.write.mode("append").partitionBy("ingest_id", "cell").parquet(idx)
+
+    assert read_ivf_index(spark, idx).count() == 200
+    out = ivf_index_topk(spark, queries, idx, k=5, n_probe=2)
+    assert out.filter(F.col("neighbor_id") >= 8000).count() == 0
+    # exclusion happens at listing time on the physical partition column
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert any("ingest_id" in ln for ln in pf), pf
+
+    # a real append still commits the next sequential ingest and becomes
+    # visible; the orphan stays invisible
+    append_ivf_index(spark, _mk(spark, _clustered(15, 50, start_id=1000)),
+                     idx, "delta-1")
+    v = read_ivf_index(spark, idx)
+    assert v.count() == 250
+    assert v.filter(F.col("vec_id") >= 8000).count() == 0

@@ -625,3 +625,53 @@ def test_snapshot_log_random_run_sequences(tmpdir_path):
             merged = dict(rows_before)
             merged.update(got)
             assert merged == rows_after, (trial, a, b)
+
+
+def test_sweep_orphan_partitions(spark, tmpdir_path):
+    """remove_orphan_files analog: a partition dir whose writer died
+    before snapshot_commit is swept once it is older than the age
+    guard; committed partitions and young orphans are never touched."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from ocr_toolkit_spark import io as tio
+
+    path = os.path.join(tmpdir_path, "table")
+    df = spark.range(20).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 2).cast("int").alias("partition_id"),
+        F.lit("x").alias("payload"),
+    )
+    df.write.partitionBy("partition_id").parquet(path)
+    tio.snapshot_commit(path, "r0", [0, 1])
+
+    # orphan: written, never committed
+    spark.range(5).select(
+        F.col("id").alias("doc_id"),
+        F.lit(9).cast("int").alias("partition_id"),
+        F.lit("orphan").alias("payload"),
+    ).write.mode("append").partitionBy("partition_id").parquet(path)
+    assert os.path.isdir(os.path.join(path, "partition_id=9"))
+
+    # young orphan survives the age guard
+    assert tio.sweep_orphan_partitions(path, older_than_s=3600) == []
+    assert os.path.isdir(os.path.join(path, "partition_id=9"))
+
+    # backdate it past the cutoff → swept; committed partitions intact
+    for dirpath, dirnames, filenames in os.walk(path):
+        for n in dirnames + filenames:
+            full = os.path.join(dirpath, n)
+            if "partition_id=9" in full:
+                os.utime(full, (time.time() - 7200, time.time() - 7200))
+    os.utime(os.path.join(path, "partition_id=9"),
+             (time.time() - 7200, time.time() - 7200))
+    assert tio.sweep_orphan_partitions(path, older_than_s=3600) == ["9"]
+    assert not os.path.isdir(os.path.join(path, "partition_id=9"))
+    assert sorted(
+        r[0] for r in tio.read_extracted_as_of(
+            spark, path, 1).select("partition_id").distinct().collect()
+    ) == [0, 1]
+    # idempotent; nothing left to sweep even at age 0
+    assert tio.sweep_orphan_partitions(path, older_than_s=0) == []

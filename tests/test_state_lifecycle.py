@@ -273,3 +273,47 @@ def test_full_lifecycle_sequence(spark, tmpdir_path):
     # the same LSH buckets (⊆ full), and each round emitted all-pairs
     assert acc == full
     assert len(full) > 15  # engineered duplicates actually exercised
+
+
+def test_orphan_uncommitted_ingest_excluded(spark, tmpdir_path):
+    """Crash-consistency of the state read: a fully-written ingest
+    partition whose snapshot_commit never landed (crash between write
+    and commit) must be invisible to read_signature_state — otherwise
+    uncommitted bands inflate bucket stats exactly like the replay bug
+    (ADVICE r5 #2) — and the crashed round's retry must overwrite it."""
+    state = os.path.join(tmpdir_path, "sigstate")
+    r0, f0 = _corpus(61, 25, 8, 6)
+    df0 = spark.createDataFrame(r0, "doc_id int, text string")
+    p0 = _pairset(incremental_dedup_round(spark, df0, df0, state, "r0", **CFG))
+    n0 = read_signature_state(spark, state).count()
+
+    # simulate the crash: round r1's parquet write landed at ingest_id=1,
+    # the commit did not (marker ids 9xxx tell leaked rows apart)
+    orphan = spark.createDataFrame(
+        [(9000 + i, b, 123456 + i) for i in range(6) for b in range(2)],
+        "id int, band int, band_hash long",
+    ).withColumn("ingest_id", F.lit(1))
+    orphan.write.mode("append").partitionBy("ingest_id").parquet(state)
+
+    st = read_signature_state(spark, state)
+    assert st.count() == n0
+    assert st.filter(F.col("id") >= 9000).count() == 0
+    # and the exclusion is partition pruning, not a row filter after scan
+    plan = st._jdf.queryExecution().executedPlan().toString()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert any("ingest_id" in ln for ln in pf), pf
+
+    # the retry claims the same ingest id and dynamic overwrite replaces
+    # the orphan wholesale; the round's pairs match an orphan-free twin's
+    r1, _ = _corpus(62, 12, 5, 5, start_id=1000, base_pool=f0)
+    u1 = spark.createDataFrame(r0 + r1, "doc_id int, text string")
+    df1 = spark.createDataFrame(r1, "doc_id int, text string")
+    p1 = _pairset(incremental_dedup_round(spark, df1, u1, state, "r1", **CFG))
+
+    twin = os.path.join(tmpdir_path, "sigstate_twin")
+    q0 = _pairset(incremental_dedup_round(spark, df0, df0, twin, "r0", **CFG))
+    q1 = _pairset(incremental_dedup_round(spark, df1, u1, twin, "r1", **CFG))
+    assert (p0, p1) == (q0, q1)
+    st = read_signature_state(spark, state)
+    assert st.filter(F.col("id") >= 9000).count() == 0
+    assert st.count() == read_signature_state(spark, twin).count()
