@@ -200,3 +200,32 @@ def test_orphan_uncommitted_ingest_excluded(spark, tmpdir_path):
     v = read_ivf_index(spark, idx)
     assert v.count() == 250
     assert v.filter(F.col("vec_id") >= 8000).count() == 0
+
+
+def test_orphan_sweep_on_nested_index_layout(spark, tmpdir_path):
+    """io.sweep_orphan_partitions reclaims an uncommitted ingest dir of
+    the nested ingest_id=N/cell=M layout (age-guarded), leaving the
+    committed index byte-identical to readers."""
+    import time
+
+    idx = os.path.join(tmpdir_path, "ivf")
+    build_ivf_index(spark, _mk(spark, _clustered(16, 150)), DIM, idx,
+                    "base", n_centroids=N_CLUSTERS)
+    orphan = spark.createDataFrame(
+        [(8100, [1.0] + [0.0] * (DIM - 1), 0)],
+        "vec_id int, embedding array<float>, cell int",
+    ).withColumn("ingest_id", F.lit(5))
+    orphan.write.mode("append").partitionBy("ingest_id", "cell").parquet(idx)
+
+    # young orphan: kept; backdated orphan: swept, committed rows intact
+    assert tio.sweep_orphan_partitions(idx, older_than_s=3600) == []
+    old = time.time() - 7200
+    for dirpath, dirnames, filenames in os.walk(
+            os.path.join(idx, "ingest_id=5")):
+        os.utime(dirpath, (old, old))
+        for n in filenames:
+            os.utime(os.path.join(dirpath, n), (old, old))
+    os.utime(os.path.join(idx, "ingest_id=5"), (old, old))
+    assert tio.sweep_orphan_partitions(idx, older_than_s=3600) == ["5"]
+    assert not os.path.isdir(os.path.join(idx, "ingest_id=5"))
+    assert read_ivf_index(spark, idx).count() == 150
