@@ -630,6 +630,15 @@ def table_report(path: str) -> dict:
                         n_files += 1
                         n_bytes += os.path.getsize(os.path.join(root, f))
             parts[name] = {"files": n_files, "bytes": n_bytes}
+    # uncommitted debris (writer died before its snapshot commit): on disk
+    # but absent from the ownership map. Reads already exclude these;
+    # surfacing them here is how an operator notices sweep_orphan_partitions
+    # has work to do.
+    tip = latest_snapshot_id(path)
+    owned = set(map(str, partitions_as_of(path, tip))) if tip else set()
+    orphans = sorted(
+        name for name in parts if name.split("=", 1)[1] not in owned
+    ) if tip else []
     return {
         "partitions": len(parts),
         "total_files": sum(p["files"] for p in parts.values()),
@@ -637,7 +646,8 @@ def table_report(path: str) -> dict:
         "max_files_per_partition": max(
             (p["files"] for p in parts.values()), default=0
         ),
-        "snapshots": latest_snapshot_id(path),
+        "snapshots": tip,
+        "orphan_partitions": orphans,
         "by_partition": parts,
     }
 

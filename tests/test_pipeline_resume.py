@@ -654,6 +654,8 @@ def test_sweep_orphan_partitions(spark, tmpdir_path):
         F.lit("orphan").alias("payload"),
     ).write.mode("append").partitionBy("partition_id").parquet(path)
     assert os.path.isdir(os.path.join(path, "partition_id=9"))
+    # visible to the operator before the sweep
+    assert tio.table_report(path)["orphan_partitions"] == ["partition_id=9"]
 
     # young orphan survives the age guard
     assert tio.sweep_orphan_partitions(path, older_than_s=3600) == []
@@ -675,3 +677,4 @@ def test_sweep_orphan_partitions(spark, tmpdir_path):
     ) == [0, 1]
     # idempotent; nothing left to sweep even at age 0
     assert tio.sweep_orphan_partitions(path, older_than_s=0) == []
+    assert tio.table_report(path)["orphan_partitions"] == []
