@@ -64,6 +64,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--table-report", metavar="TABLE_PATH",
                    help="print per-partition file/byte layout + snapshot "
                         "depth and exit (no Spark job)")
+    p.add_argument("--compact-index", metavar="INDEX_PATH",
+                   help="merge an IVF index's committed ingest partitions "
+                        "into one, preserving the nested cell= probe-"
+                        "pruning layout (the index-aware rewrite that "
+                        "--compact refuses to attempt) and exit")
     p.add_argument("--sweep-orphans", metavar="TABLE_PATH",
                    help="delete partition dirs on disk but absent from "
                         "the snapshot log (debris of a writer that died "
@@ -182,6 +187,19 @@ def main(argv: list[str] | None = None) -> int:
         )
         print(json.dumps({"swept": swept,
                           "tip": tio.latest_snapshot_id(args.sweep_orphans)}))
+        return 0
+    if args.compact_index:
+        import uuid as _uuid
+
+        from ocr_toolkit_spark.operators.ivf_index import compact_ivf_index
+        from ocr_toolkit_spark.session import get_spark
+
+        spark = get_spark(app_name="ocr-compact-index", master=args.master)
+        res = compact_ivf_index(
+            spark, args.compact_index,
+            run_id=f"compact-index-{_uuid.uuid4().hex[:8]}")
+        print(json.dumps(res))
+        spark.stop()
         return 0
     if args.read_changes:
         from ocr_toolkit_spark import io as tio

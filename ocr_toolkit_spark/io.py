@@ -131,6 +131,19 @@ def latest_snapshot_id(table_path: str) -> int:
     return ids[-1] if ids else 0
 
 
+def _fold_delta(parts: dict, delta: dict) -> None:
+    """Fold one snapshot's delta into a cumulative ownership map. A None
+    run_id DE-OWNS the partition (the Iceberg delete-manifest analog):
+    it leaves the map, committed-only readers stop listing it, and
+    sweep_orphan_partitions may reclaim its directory. Everything else is
+    an upsert, exactly as before the removal extension."""
+    for p, r in delta.items():
+        if r is None:
+            parts.pop(p, None)
+        else:
+            parts[p] = r
+
+
 def partitions_as_of(table_path: str, snapshot_id: int) -> dict[str, str]:
     """Cumulative {partition_id: owning run_id} AS OF a snapshot, folding
     deltas forward from the nearest checkpoint at or below it — reads at
@@ -162,7 +175,7 @@ def partitions_as_of(table_path: str, snapshot_id: int) -> dict[str, str]:
                 f"log file for snapshot {sid} is missing"
             )
         if "delta" in rec:
-            parts.update(rec["delta"])
+            _fold_delta(parts, rec["delta"])
         else:  # legacy cumulative-only record
             parts = dict(rec["partitions"])
     return parts
@@ -203,7 +216,7 @@ def snapshots(table_path: str) -> list[dict]:
                     f"non-checkpoint {sid} after expiry"
                 )
         elif "delta" in rec:
-            parts.update(rec["delta"])
+            _fold_delta(parts, rec["delta"])
         else:  # legacy cumulative-only record
             parts = dict(rec["partitions"])
         rec["partitions"] = dict(parts)
@@ -214,9 +227,17 @@ def snapshots(table_path: str) -> list[dict]:
 def snapshot_commit(
     table_path: str, run_id: str, partition_ids: list[int],
     operation: str = "append",
+    remove_partition_ids: list[int] | None = None,
 ) -> dict:
     """Append one snapshot claiming `partition_ids` for `run_id` (replacing
     any prior owner — dynamic-overwrite semantics). Returns the new record.
+
+    `remove_partition_ids` DE-OWNS partitions in the same atomic commit
+    (recorded as None-valued delta entries; see _fold_delta): the one-step
+    swap an N-into-1 rewrite needs — claim the merged partition and drop
+    the N sources so no snapshot ever shows both. De-owned directories
+    become invisible to committed-only readers immediately and are
+    reclaimable with sweep_orphan_partitions.
 
     `operation` is the Iceberg snapshot-operation analog: "append" for
     commits that add/change ROWS, "replace" for row-preserving file
@@ -240,6 +261,14 @@ def snapshot_commit(
         parent_id = latest_snapshot_id(table_path)
         sid = parent_id + 1
         delta = {str(int(pid)): run_id for pid in partition_ids}
+        for pid in remove_partition_ids or []:
+            key = str(int(pid))
+            if key in delta:
+                raise ValueError(
+                    f"snapshot_commit: partition {key} both claimed and "
+                    "removed in one commit"
+                )
+            delta[key] = None
         snap = {
             "snapshot_id": sid,
             "parent_id": parent_id or None,
@@ -250,8 +279,8 @@ def snapshot_commit(
         }
         if sid % CHECKPOINT_EVERY == 0:
             parts = partitions_as_of(table_path, parent_id)
-            parts.update(delta)
-            snap["partitions"] = parts
+            _fold_delta(parts, delta)  # checkpoints embed the FOLDED map:
+            snap["partitions"] = parts  # no None tombstones survive here
         final = os.path.join(d, f"snap-{sid:08d}.json")
         # uuid: pid alone is not unique across THREADS of one driver —
         # a shared tmp name lets a concurrent commit truncate the inode
@@ -305,9 +334,13 @@ def changed_partitions_between(
             # Iceberg incremental scan reads appends only). Ownership folds
             # still include them via partitions_as_of.
             if rec.get("operation", "append") != "replace":
-                changed.update(rec["delta"])
+                # removals (None) are ownership events, not row changes —
+                # incremental data consumers never see them
+                changed.update(
+                    {p: r for p, r in rec["delta"].items() if r is not None}
+                )
             if cur is not None:
-                cur.update(rec["delta"])
+                _fold_delta(cur, rec["delta"])
         else:
             # legacy cumulative-only record: its claim set is the diff vs
             # the state BEFORE it — not its full map, which would report
@@ -550,8 +583,8 @@ def compact_extracted(
                 f"{partition_col}=; compact_extracted would flatten that "
                 "layout and destroy its partition pruning — refusing "
                 "(the IVF index table keeps cell= as a live probe-pruning "
-                "dimension; compact it with an index-aware rewrite, not "
-                "this one)"
+                "dimension; use operators.ivf_index.compact_ivf_index / "
+                "job.py --compact-index, which preserves it)"
             )
         # legacy nested layout (batch_id=N/partition_id=M, pre-r5 sink):
         # compaction FLATTENS, so a partial rewrite would mix directory

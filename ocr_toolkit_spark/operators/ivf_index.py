@@ -271,6 +271,89 @@ def read_ivf_index(spark: SparkSession, index_path: str) -> DataFrame:
     )
 
 
+def compact_ivf_index(
+    spark: SparkSession,
+    index_path: str,
+    run_id: str,
+    remove_old_dirs: bool = True,
+) -> dict:
+    """Merge every committed ingest into ONE new ingest partition while
+    preserving the nested `cell=` probe-pruning layout — the index-aware
+    rewrite `io.compact_extracted` refuses to attempt (its single-level
+    rewrite would flatten `cell=` and destroy listing-time pruning).
+
+    At 100 TB the index accrues one `ingest_id=N` directory per append
+    forever, so a probe of C cells eventually opens C files *per ingest*;
+    after this rewrite it opens ~one file per cell total. Rows, quantizer,
+    meta, and recall are IDENTICAL — only the layout changes.
+
+    Crash-safe by construction, leaning on committed-only reads: the
+    merged partition is written FIRST (an orphan until its commit — a
+    crash leaves it invisible, sweep_orphan_partitions reclaims it), then
+    ONE atomic snapshot claims it and DE-OWNS the sources
+    (snapshot_commit remove_partition_ids, operation="replace") — no
+    snapshot ever shows both copies. The de-owned source dirs are deleted
+    after the commit (a crash in between leaves them invisible and
+    sweepable). Run quiesced (no concurrent append/query), like every
+    compaction here; incremental consumers skip the "replace" snapshot.
+    Idempotent on run_id via the log history, like append_ivf_index."""
+    import shutil
+
+    tip = tio.latest_snapshot_id(index_path)
+    if tip == 0:
+        raise ValueError(f"no committed IVF index under {index_path}")
+    for snap in tio.snapshots(index_path):
+        if (
+            snap["run_id"] == run_id
+            and snap.get("operation") == "replace"
+            and snap.get("delta")
+        ):
+            pid = min(
+                int(p) for p, r in snap["delta"].items() if r is not None
+            )
+            return {"new_ingest": pid, "replayed": True}
+
+    owners = sorted(int(p) for p in tio.partitions_as_of(index_path, tip))
+    new_pid = owners[-1] + 1
+
+    def count_files() -> int:
+        n = 0
+        for pid in [*owners, new_pid]:
+            pdir = os.path.join(index_path, f"ingest_id={pid}")
+            for _root, _dirs, files in os.walk(pdir):
+                n += sum(1 for f in files if f.endswith(".parquet"))
+        return n
+
+    files_before = count_files()
+    rows = read_ivf_index(spark, index_path)
+    n_cells = int(ivf_index_meta(index_path)["n_centroids"])
+    (
+        rows.withColumn("ingest_id", F.lit(new_pid))
+        .repartition(n_cells, "cell")  # ≈ one file per cell directory
+        .sortWithinPartitions("cell", "vec_id")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest_id", "cell")
+        .parquet(index_path)
+    )
+    tio.snapshot_commit(
+        index_path, run_id, [new_pid],
+        operation="replace", remove_partition_ids=owners,
+    )
+    if remove_old_dirs:
+        for pid in owners:
+            shutil.rmtree(
+                os.path.join(index_path, f"ingest_id={pid}"),
+                ignore_errors=True,
+            )
+    return {
+        "ingests_before": len(owners),
+        "new_ingest": new_pid,
+        "files_before": files_before,
+        "files_after": count_files(),
+    }
+
+
 def ivf_index_topk(
     spark: SparkSession,
     queries: DataFrame,

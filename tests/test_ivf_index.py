@@ -14,6 +14,7 @@ from ocr_toolkit_spark.operators.ivf_index import (
     IvfDriftError,
     append_ivf_index,
     build_ivf_index,
+    compact_ivf_index,
     ivf_index_meta,
     ivf_index_topk,
     read_ivf_index,
@@ -229,3 +230,73 @@ def test_orphan_sweep_on_nested_index_layout(spark, tmpdir_path):
     assert tio.sweep_orphan_partitions(idx, older_than_s=3600) == ["5"]
     assert not os.path.isdir(os.path.join(idx, "ingest_id=5"))
     assert read_ivf_index(spark, idx).count() == 150
+
+
+def test_compact_index_merges_ingests_preserving_pruning(spark, tmpdir_path):
+    """compact_ivf_index merges N committed ingests into one: results and
+    layout-pruning identical, files reduced, sources de-owned atomically,
+    replay idempotent."""
+    idx = os.path.join(tmpdir_path, "ivf")
+    build_ivf_index(spark, _mk(spark, _clustered(17, 300)), DIM, idx,
+                    "base", n_centroids=N_CLUSTERS)
+    append_ivf_index(spark, _mk(spark, _clustered(18, 60, start_id=1000)),
+                     idx, "d1")
+    append_ivf_index(spark, _mk(spark, _clustered(19, 60, start_id=2000)),
+                     idx, "d2")
+    queries = _mk(spark, _clustered(20, 4, start_id=5000))
+    before = sorted(
+        map(tuple, ivf_index_topk(spark, queries, idx, k=5, n_probe=2)
+            .collect())
+    )
+
+    rep = compact_ivf_index(spark, idx, "compact-1")
+    assert rep["ingests_before"] == 3 and rep["new_ingest"] == 3
+    assert rep["files_after"] < rep["files_before"]
+    owners = tio.partitions_as_of(idx, tio.latest_snapshot_id(idx))
+    assert sorted(owners) == ["3"]
+    for pid in (0, 1, 2):
+        assert not os.path.isdir(os.path.join(idx, f"ingest_id={pid}"))
+    assert read_ivf_index(spark, idx).count() == 420
+
+    after = sorted(
+        map(tuple, ivf_index_topk(spark, queries, idx, k=5, n_probe=2)
+            .collect())
+    )
+    assert before == after
+    # probed-cell pruning survives the rewrite
+    out = ivf_index_topk(spark, queries, idx, k=5, n_probe=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert any("cell" in ln for ln in pf), pf
+
+    # replay under the same run_id: nothing rewritten
+    tip = tio.latest_snapshot_id(idx)
+    rep2 = compact_ivf_index(spark, idx, "compact-1")
+    assert rep2.get("replayed") and rep2["new_ingest"] == 3
+    assert tio.latest_snapshot_id(idx) == tip
+
+    # appends continue above the merged id
+    nxt = append_ivf_index(
+        spark, _mk(spark, _clustered(21, 30, start_id=3000)), idx, "d3")
+    assert nxt["ingest_id"] == 4
+    assert read_ivf_index(spark, idx).count() == 450
+
+
+def test_compact_index_crash_window_never_double_counts(spark, tmpdir_path):
+    """The commit de-owns sources and claims the merge in ONE snapshot, so
+    even with the source dirs still on disk (crash before cleanup) no
+    reader ever sees both copies; the leftovers are sweepable orphans."""
+    idx = os.path.join(tmpdir_path, "ivf")
+    build_ivf_index(spark, _mk(spark, _clustered(22, 150)), DIM, idx,
+                    "base", n_centroids=N_CLUSTERS)
+    append_ivf_index(spark, _mk(spark, _clustered(23, 50, start_id=1000)),
+                     idx, "d1")
+    rep = compact_ivf_index(spark, idx, "compact-1", remove_old_dirs=False)
+    assert rep["ingests_before"] == 2
+    # sources still on disk, but de-owned → invisible, not doubled
+    assert os.path.isdir(os.path.join(idx, "ingest_id=0"))
+    assert read_ivf_index(spark, idx).count() == 200
+    # and the sweep reclaims them as ordinary orphans
+    swept = tio.sweep_orphan_partitions(idx, older_than_s=-5)
+    assert swept == ["0", "1"]
+    assert read_ivf_index(spark, idx).count() == 200

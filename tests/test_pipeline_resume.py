@@ -678,3 +678,47 @@ def test_sweep_orphan_partitions(spark, tmpdir_path):
     # idempotent; nothing left to sweep even at age 0
     assert tio.sweep_orphan_partitions(path, older_than_s=0) == []
     assert tio.table_report(path)["orphan_partitions"] == []
+
+
+def test_snapshot_removals_fold_and_checkpoint(tmpdir_path):
+    """Ownership removal (None-valued delta entries): partitions_as_of
+    and snapshots() drop de-owned pids, checkpoint records embed the
+    folded map with no tombstones, incremental scans never report a
+    removal as a data change, and claim+remove of one pid in one commit
+    is refused."""
+    import json as _json
+    import os
+
+    import pytest
+
+    from ocr_toolkit_spark import io as tio
+
+    path = os.path.join(tmpdir_path, "table")
+    os.makedirs(path)
+    # 30 appends, then the N-into-1 swap, then cross the checkpoint at 32
+    for i in range(30):
+        tio.snapshot_commit(path, f"r{i}", [i])
+    tio.snapshot_commit(path, "merge", [100], operation="replace",
+                        remove_partition_ids=list(range(30)))
+    assert tio.partitions_as_of(path, 31) == {"100": "merge"}
+    # snapshot 30's view still shows the sources (time travel)
+    assert len(tio.partitions_as_of(path, 30)) == 30
+    tio.snapshot_commit(path, "r32", [101])  # checkpoint commit (32)
+    snap32 = _json.load(open(os.path.join(
+        path, "_snapshots", "snap-00000032.json")))
+    assert snap32["partitions"] == {"100": "merge", "101": "r32"}
+    assert None not in snap32["partitions"].values()
+    # fold THROUGH the checkpoint stays clean
+    tio.snapshot_commit(path, "r33", [102])
+    assert tio.partitions_as_of(path, 33) == {
+        "100": "merge", "101": "r32", "102": "r33"}
+    assert tio.snapshots(path)[-1]["partitions"] == tio.partitions_as_of(
+        path, 33)
+
+    # a "replace" removal is invisible to incremental consumers; the
+    # appends around it are not
+    ch = tio.changed_partitions_between(path, 30, 33)
+    assert ch == {"101": "r32", "102": "r33"}
+
+    with pytest.raises(ValueError, match="both claimed and removed"):
+        tio.snapshot_commit(path, "bad", [7], remove_partition_ids=[7])
