@@ -74,6 +74,7 @@ def main() -> int:
     from ocr_toolkit_spark.operators.ivf_index import (
         append_ivf_index,
         build_ivf_index,
+        compact_ivf_index,
         ivf_index_topk,
     )
     from ocr_toolkit_spark.operators.similarity import brute_force_topk
@@ -126,6 +127,16 @@ def main() -> int:
         idx_full)
     out["speedup_append_vs_rebuild"] = round(
         out["rebuild"]["sec"] / out["append"]["sec"], 2)
+
+    # index-aware compaction leg (r6b): merge the two ingests into one,
+    # cell= pruning kept; recall and result set must not move, queries
+    # should get cheaper (fewer files per probed cell)
+    c0, t0 = cpu_stat(), time.time()
+    crep = compact_ivf_index(spark, idx, "compact-1")
+    out["compact"] = {"sec": round(time.time() - t0, 2),
+                      "steal_pct": round(steal_pct(c0, cpu_stat()), 1),
+                      **crep}
+    out["recall_after_compact"], out["query_sec_after_compact"] = recall(idx)
 
     print(json.dumps(out), flush=True)
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
