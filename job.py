@@ -64,6 +64,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--table-report", metavar="TABLE_PATH",
                    help="print per-partition file/byte layout + snapshot "
                         "depth and exit (no Spark job)")
+    p.add_argument("--merge-state", metavar="STATE_PATH",
+                   help="collapse a dedup signature state's committed "
+                        "ingest partitions into one (delta-round pair "
+                        "sets unchanged; the partition-count answer "
+                        "--compact does not give) and exit")
     p.add_argument("--compact-index", metavar="INDEX_PATH",
                    help="merge an IVF index's committed ingest partitions "
                         "into one, preserving the nested cell= probe-"
@@ -198,6 +203,21 @@ def main(argv: list[str] | None = None) -> int:
         res = compact_ivf_index(
             spark, args.compact_index,
             run_id=f"compact-index-{_uuid.uuid4().hex[:8]}")
+        print(json.dumps(res))
+        spark.stop()
+        return 0
+    if args.merge_state:
+        import uuid as _uuid
+
+        from ocr_toolkit_spark.operators.incremental import (
+            merge_signature_state,
+        )
+        from ocr_toolkit_spark.session import get_spark
+
+        spark = get_spark(app_name="ocr-merge-state", master=args.master)
+        res = merge_signature_state(
+            spark, args.merge_state,
+            run_id=f"merge-state-{_uuid.uuid4().hex[:8]}")
         print(json.dumps(res))
         spark.stop()
         return 0

@@ -430,6 +430,71 @@ def compact_signature_state(
     )
 
 
+def merge_signature_state(
+    spark: SparkSession,
+    state_path: str,
+    run_id: str,
+    n_files: int = 1,
+) -> dict:
+    """Collapse every committed ingest partition into ONE — the partition-
+    count answer compact_signature_state does not give. Per-ingest file
+    compaction keeps the directory count growing one partition per round
+    forever; at 100 TB the state's touched-bucket probe eventually pays a
+    footer read per ingest per round. After the merge the probe reads one
+    partition with `n_files` files sorted on (band, band_hash, id), so
+    row-group stats prune tightly.
+
+    Semantics untouched: rows are identical (the bucket reps are min-id
+    over unchanged ids), replay idempotence survives because
+    append_signatures checks run_ids against log HISTORY, incremental
+    consumers skip the "replace" snapshot, and gc_signature_state's
+    dynamic overwrite works on the merged layout unchanged.
+
+    Crash discipline = compact_ivf_index's: merged partition written
+    first (an uncommitted orphan until its snapshot), then ONE atomic
+    claim-and-de-own commit (snapshot_commit remove_partition_ids), then
+    source dirs deleted — a crash at any point leaves only invisible,
+    sweepable debris, never a double-visible row. Run quiesced."""
+    import shutil
+
+    state = read_signature_state(spark, state_path)
+    if state is None:
+        raise ValueError(f"no signature state under {state_path}")
+    for snap in tio.snapshots(state_path):
+        if (
+            snap["run_id"] == run_id
+            and snap.get("operation") == "replace"
+            and snap.get("delta")
+            and any(r is None for r in snap["delta"].values())
+        ):
+            pid = min(
+                int(p) for p, r in snap["delta"].items() if r is not None
+            )
+            return {"new_ingest": pid, "replayed": True}
+
+    tip = tio.latest_snapshot_id(state_path)
+    owners = sorted(int(p) for p in tio.partitions_as_of(state_path, tip))
+    new_pid = owners[-1] + 1
+    (
+        state.withColumn("ingest_id", F.lit(new_pid))
+        .repartition(n_files)
+        .sortWithinPartitions("band", "band_hash", "id")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest_id")
+        .parquet(state_path)
+    )
+    tio.snapshot_commit(
+        state_path, run_id, [new_pid],
+        operation="replace", remove_partition_ids=owners,
+    )
+    for pid in owners:
+        shutil.rmtree(
+            os.path.join(state_path, f"ingest_id={pid}"), ignore_errors=True
+        )
+    return {"ingests_before": len(owners), "new_ingest": new_pid}
+
+
 def gc_signature_state(
     spark: SparkSession,
     tombstones: DataFrame,

@@ -317,3 +317,68 @@ def test_orphan_uncommitted_ingest_excluded(spark, tmpdir_path):
     st = read_signature_state(spark, state)
     assert st.filter(F.col("id") >= 9000).count() == 0
     assert st.count() == read_signature_state(spark, twin).count()
+
+
+def test_merge_collapses_ingests_preserving_rounds(spark, tmpdir_path):
+    """merge_signature_state: N ingest partitions become one; the next
+    delta round's verified pairs equal an unmerged twin's, replay of an
+    already-committed round still appends nothing, and GC keeps working
+    on the merged layout."""
+    from ocr_toolkit_spark.operators.incremental import merge_signature_state
+
+    r0, f0 = _corpus(71, 30, 10, 8)
+    r1, f1 = _corpus(72, 15, 6, 6, start_id=1000, base_pool=f0)
+    r2, _ = _corpus(73, 12, 5, 5, start_id=2000, base_pool=f0 + f1)
+    sA = os.path.join(tmpdir_path, "stateA")  # merged mid-sequence
+    sB = os.path.join(tmpdir_path, "stateB")  # never merged
+
+    df0 = spark.createDataFrame(r0, "doc_id int, text string")
+    u1 = spark.createDataFrame(r0 + r1, "doc_id int, text string")
+    df1 = spark.createDataFrame(r1, "doc_id int, text string")
+    u2 = spark.createDataFrame(r0 + r1 + r2, "doc_id int, text string")
+    df2 = spark.createDataFrame(r2, "doc_id int, text string")
+
+    pairs = {"A": set(), "B": set()}
+    for s, key in ((sA, "A"), (sB, "B")):
+        pairs[key] |= _pairset(
+            incremental_dedup_round(spark, df0, df0, s, "r0", **CFG))
+        pairs[key] |= _pairset(
+            incremental_dedup_round(spark, df1, u1, s, "r1", **CFG))
+
+    n_before = read_signature_state(spark, sA).count()
+    rep = merge_signature_state(spark, sA, "merge-1")
+    assert rep["ingests_before"] == 2 and rep["new_ingest"] == 2
+    owners = tio.partitions_as_of(sA, tio.latest_snapshot_id(sA))
+    assert sorted(owners) == ["2"]
+    assert not os.path.isdir(os.path.join(sA, "ingest_id=0"))
+    assert read_signature_state(spark, sA).count() == n_before
+
+    # replay of the merge run_id: nothing rewritten
+    tip = tio.latest_snapshot_id(sA)
+    rep2 = merge_signature_state(spark, sA, "merge-1")
+    assert rep2.get("replayed") and rep2["new_ingest"] == 2
+    assert tio.latest_snapshot_id(sA) == tip
+
+    # replay of committed round r1 after the merge: history check holds
+    p_replay = incremental_dedup_round(spark, df1, u1, sA, "r1", **CFG)
+    assert tio.latest_snapshot_id(sA) == tip
+    assert read_signature_state(spark, sA).count() == n_before
+    assert _pairset(p_replay) <= pairs["A"]
+
+    # next real round: merged and unmerged twins agree exactly; new
+    # ingest lands ABOVE the merged id
+    pA = _pairset(incremental_dedup_round(spark, df2, u2, sA, "r2", **CFG))
+    pB = _pairset(incremental_dedup_round(spark, df2, u2, sB, "r2", **CFG))
+    assert pA == pB
+    assert (pairs["A"] | pA) == (pairs["B"] | pB) == _pairset(_full_pairs(u2))
+    assert sorted(tio.partitions_as_of(
+        sA, tio.latest_snapshot_id(sA))) == ["2", "3"]
+
+    # GC still works on the merged layout
+    dead = [r0[0][0]]
+    live_rows = [r for r in r0 + r1 + r2 if r[0] not in dead]
+    live = spark.createDataFrame(live_rows, "doc_id int, text string")
+    tomb = spark.createDataFrame([(d,) for d in dead], "id int")
+    gc_signature_state(spark, tomb, live, sA, "gc-1")
+    st = read_signature_state(spark, sA)
+    assert st.filter(F.col("id") == dead[0]).count() == 0
