@@ -20,6 +20,8 @@ state-table maintenance events (the r5 verdict-#1 lifecycle, at scale):
   band-sorted);
 - cycle 31: `gc_signature_state` tombstones 1k cycle-0 docs (repair
   pairs verified against the live corpus);
+- cycle 33: `merge_signature_state` collapses all ~33 ingest partitions
+  into ONE (r6b atomic claim-and-de-own) — later cycles append on top;
 - cycle 34: `expire_signature_state(keep_last=4)` once the state log
   crossed ITS checkpoint.
 
@@ -109,6 +111,7 @@ def main() -> int:
     )
     from ocr_toolkit_spark.operators.incremental import (
         compact_signature_state,
+        merge_signature_state,
         dedup_extracted_changes,
         expire_signature_state,
         gc_signature_state,
@@ -211,6 +214,17 @@ def main() -> int:
             all_pairs = {(a, b) for a, b in all_pairs
                          if a not in ts and b not in ts}
             all_pairs |= {(r.id_a, r.id_b) for r in rep_rows}
+        if c == 33:
+            # collapse ~33 ingest partitions into ONE (r6b) — the
+            # partition-count cost center; later cycles append on top and
+            # the final pair_sym_diff must still be 0
+            c0, t0 = cpu_stat(), time.time()
+            res = merge_signature_state(spark, state, "state-merge-33")
+            out_j["maintenance"].append({
+                "cycle": c, "op": "state_merge",
+                "sec": round(time.time() - t0, 2),
+                "steal_pct": round(steal_pct(c0, cpu_stat()), 1), **res})
+            print(json.dumps(out_j["maintenance"][-1]), flush=True)
         if c == 34:
             t0 = time.time()
             exp = expire_signature_state(state, keep_last)
