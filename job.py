@@ -325,8 +325,9 @@ def main(argv: list[str] | None = None) -> int:
     if not (args.input and args.output and args.lineage):
         p.error("--input, --output and --lineage are required "
                 "(unless using --list-formats, --list-snapshots, "
-                "--expire-snapshots, --compact, --read-changes, "
-                "--dedup-delta or --table-report)")
+                "--expire-snapshots, --compact, --compact-index, "
+                "--merge-state, --sweep-orphans, --read-changes, "
+                "--dedup-delta, --state-gc or --table-report)")
 
     from ocr_toolkit_spark.pipeline import extraction_stats, run_extraction
     from ocr_toolkit_spark.session import get_spark
