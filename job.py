@@ -289,9 +289,9 @@ def main(argv: list[str] | None = None) -> int:
         tomb = spark.read.parquet(tomb_path).select(F.col("id"))
         corpus = spark.read.parquet(corpus_path)
         # deterministic run_id over the tombstone batch (order-independent
-        # sum of per-id hashes): a retried GC of the same batch is a
-        # no-op rewrite (rows already gone) plus one extra delete
-        # snapshot — harmless, loud in the log
+        # sum of per-id hashes): a retried GC of the same batch replays —
+        # it returns the PERSISTED repair pairs of the committed run and
+        # appends nothing (r6b; see gc_signature_state's replay note)
         batch_id = tomb.agg(
             F.sum(F.xxhash64(F.col("id").cast("string")))
         ).collect()[0][0]

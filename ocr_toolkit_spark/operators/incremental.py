@@ -533,13 +533,41 @@ def gc_signature_state(
     the state's pinned meta, so repair verification matches the rounds'.
 
     `tombstones` is a one-column DataFrame of deleted ids; `corpus_df`
-    is the LIVE corpus (tombstones already removed)."""
+    is the LIVE corpus (tombstones already removed).
+
+    REPLAY-SAFE (r6b): the repair pairs are persisted under the state's
+    `_gc/` dir (underscore-prefixed → invisible to Spark's file index,
+    like `_snapshots`) BEFORE the delete commit, and a rerun of a
+    committed run_id returns them from there. Without this, a retry
+    after the commit would recompute `removed` as EMPTY (the tombstoned
+    rows are already gone) and return zero repair pairs — if the caller
+    crashed before persisting the originals, the severed star links
+    would be unrecoverable, since the post-GC state no longer knows
+    which buckets lost their rep."""
+    import hashlib
     import shutil
 
     meta = signature_state_meta(state_path)
     state = read_signature_state(spark, state_path)
     if meta is None or state is None:
         raise ValueError(f"no signature state under {state_path}")
+    repair_dir = os.path.join(
+        state_path, "_gc",
+        f"repair-{hashlib.sha1(run_id.encode()).hexdigest()[:16]}",
+    )
+    for snap in tio.snapshots(state_path):
+        if (
+            snap["run_id"] == run_id
+            and snap.get("operation") == "delete"
+        ):
+            if os.path.isdir(repair_dir):
+                return spark.read.parquet(repair_dir)
+            # legacy GC (pre-persistence): fully applied, repair unknown
+            raise ValueError(
+                f"GC run '{run_id}' already committed to {state_path} "
+                "but its repair pairs were not persisted (pre-r6b run) — "
+                "they cannot be recomputed from the post-GC state"
+            )
     tomb = tombstones.toDF("id")
 
     # buckets that contained a tombstoned doc, with the smallest removed id
@@ -582,6 +610,11 @@ def gc_signature_state(
         r[0] for r in removed.select("ingest_id").distinct().collect()
     )
     if pids:
+        # persist the repair pairs BEFORE the rewrite and delete commit:
+        # the one record of the severed links a post-commit retry can
+        # still read (see the replay note above). Overwrite handles a
+        # retry that crashed between this write and the commit.
+        repair.write.mode("overwrite").parquet(repair_dir)
         keep_rows = state.filter(F.col("ingest_id").isin(pids)).join(
             F.broadcast(tomb), "id", "left_anti"
         )

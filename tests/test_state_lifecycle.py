@@ -382,3 +382,44 @@ def test_merge_collapses_ingests_preserving_rounds(spark, tmpdir_path):
     gc_signature_state(spark, tomb, live, sA, "gc-1")
     st = read_signature_state(spark, sA)
     assert st.filter(F.col("id") == dead[0]).count() == 0
+
+
+def test_gc_replay_returns_persisted_repair(spark, tmpdir_path):
+    """A GC retry after the delete commit must return the ORIGINAL repair
+    pairs (persisted under _gc/ before the commit), not a recomputed
+    empty set — the post-GC state no longer knows which buckets lost
+    their rep."""
+    import shutil
+
+    import pytest
+
+    state = os.path.join(tmpdir_path, "sigstate")
+    r0, f0 = _corpus(81, 30, 10, 8)
+    df0 = spark.createDataFrame(r0, "doc_id int, text string")
+    incremental_dedup_round(spark, df0, df0, state, "r0", **CFG)
+
+    dead = [r0[0][0], r0[1][0]]
+    live_rows = [r for r in r0 if r[0] not in dead]
+    live = spark.createDataFrame(live_rows, "doc_id int, text string")
+    tomb = spark.createDataFrame([(d,) for d in dead], "id int")
+    first = gc_signature_state(spark, tomb, live, state, "gc-1")
+    first_set = _pairset(first)
+    tip = tio.latest_snapshot_id(state)
+
+    # replay: same pairs, no new snapshot; works even with an EMPTY
+    # tombstone frame (the retry may not have the original inputs)
+    empty_tomb = spark.createDataFrame([], "id int")
+    again = gc_signature_state(spark, empty_tomb, live, state, "gc-1")
+    assert _pairset(again) == first_set
+    assert tio.latest_snapshot_id(state) == tip
+
+    # a pre-persistence (legacy) committed GC cannot be replayed: loud
+    shutil.rmtree(os.path.join(state, "_gc"))
+    with pytest.raises(ValueError, match="repair pairs were not persisted"):
+        gc_signature_state(spark, empty_tomb, live, state, "gc-1")
+
+    # and the _gc dir never leaks into state reads or reports
+    assert "id_a" not in read_signature_state(spark, state).columns
+    assert not any(
+        "_gc" in p for p in tio.table_report(state)["by_partition"]
+    )
