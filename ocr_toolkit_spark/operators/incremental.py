@@ -472,6 +472,14 @@ def merge_signature_state(
             )
             return {"new_ingest": pid, "replayed": True}
 
+    if state.isEmpty():
+        # same contract as append_signatures' empty-frame refusal
+        # (ADVICE r5 #1): a zero-row merged partition after de-owning the
+        # sources would leave a tip>0 state with no readable files
+        raise ValueError(
+            f"merge_signature_state: state under {state_path} has no "
+            "committed rows — nothing to merge"
+        )
     tip = tio.latest_snapshot_id(state_path)
     owners = sorted(int(p) for p in tio.partitions_as_of(state_path, tip))
     new_pid = owners[-1] + 1
