@@ -588,13 +588,24 @@ def test_snapshot_log_random_run_sequences(tmpdir_path):
             # compaction operation): ownership folds include them, but
             # incremental scans must NOT report them as changes (r5)
             op = "replace" if rng.random() < 0.25 else "append"
-            tio.snapshot_commit(table, run, pids, operation=op)
+            # merge-style rewrites (r6b): a replace commit may also
+            # DE-OWN currently-owned partitions outside its claim set —
+            # ownership folds drop them, incremental scans never see them
+            removals = []
+            if op == "replace" and rng.random() < 0.5:
+                pool = [int(q) for q in expected if int(q) not in pids]
+                if pool:
+                    removals = rng.sample(pool, rng.randrange(1, len(pool) + 1))
+            tio.snapshot_commit(table, run, pids, operation=op,
+                                remove_partition_ids=removals)
             commit_log.append(
                 {str(p): run for p in pids} if op == "append" else {})
             for p in pids:
                 expected[str(p)] = run
                 if op == "append":
                     rows_expected[str(p)] = run
+            for p in removals:
+                expected.pop(str(p), None)
             prefixes.append(dict(expected))
             rows_prefixes.append(dict(rows_expected))
         snaps = tio.snapshots(table)
