@@ -437,17 +437,18 @@ def q_tpch_q1(spark, sf_dir):
 def q_tpch_q3_topk(spark, sf_dir):
     """TPC-H Q3 shipping priority — 3-way join + agg + top-k.
 
-    Same fact-side pin as q_tpch_q5 (r6): lineitem streams and shuffles
-    on l_orderkey; without the hint its borderline ~10 MB scan estimate
-    intermittently made the FACT the broadcast build side."""
+    Same join pin as q_tpch_q5 (r6b): the SMJ hint sits on the
+    customer⋈orders side, so lineitem streams and shuffles on
+    l_orderkey and is NEVER a hash-build side; without the pin its
+    borderline ~10 MB scan estimate intermittently made the FACT the
+    broadcast build side."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     dec = lambda col: F.col(col).cast("decimal(18,4)")
     return (
-        li.hint("shuffle_hash")
-        .join(c.join(o, c.c_custkey == o.o_custkey),
-              F.col("o_orderkey") == li.l_orderkey)
+        li.join(c.join(o, c.c_custkey == o.o_custkey).hint("merge"),
+                F.col("o_orderkey") == li.l_orderkey)
         .groupBy("o_orderkey", "o_orderdate")
         .agg(
             F.sum(
@@ -474,13 +475,21 @@ def q_tpch_q5(spark, sf_dir):
     alternated between the fact-chain-shuffles plan (r4's 0.95 s) and a
     degenerate one that made the 600k-row FACT the broadcast BUILD side
     — a single-threaded hash build of the biggest table per run (the
-    1.2–1.6 s r5/r6 saw; measured head-to-head in r6:
-    broadcast-fact 1.20 / SMJ 1.10 / shuffle_hash 1.07 / broadcast-co
-    0.88). The `shuffle_hash` hint on lineitem pins the scale-honest
-    shape — the fact streams and shuffles on l_orderkey, never builds —
-    which is also what accurate estimates would pick at 100 TB; the
-    0.88 broadcast-co variant is faster HERE but force-broadcasts a
-    join that scales with the data, so it is rejected."""
+    1.2–1.6 s r5/r6 saw).
+
+    r6b correction: the first r6 pin put `shuffle_hash` on lineitem,
+    and Spark's SHUFFLE_HASH hint makes the HINTED side the build side
+    — so the fix reintroduced the fact-build shape it existed to
+    prevent, at ShuffledHashJoin granularity instead of broadcast
+    (docs/PLANS.md recorded `ShuffledHashJoin Inner BuildLeft` over
+    the lineitem scan; SHJ build maps do not spill, so that OOMs at
+    scale). The pin now hints `merge` on the customer⋈orders side:
+    SortMergeJoin has NO build side, spills both inputs, and is what
+    accurate estimates would pick at 100 TB. Head-to-head (r6b, sf0.1,
+    best of 4): fact-build SHJ 1.80 / co-build SHJ 1.41 / SMJ 1.40 —
+    the honest shape is also the fastest. A broadcast-co variant
+    measured 0.88 in r6 but force-broadcasts a join that scales with
+    the data, so it stays rejected."""
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     n = _t(spark, sf_dir, "nation")
     c = _t(spark, sf_dir, "customer")
@@ -490,10 +499,9 @@ def q_tpch_q5(spark, sf_dir):
         (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
     )
     dec = lambda col: F.col(col).cast("decimal(18,4)")
-    co = c.join(o, c.c_custkey == o.o_custkey)
+    co = c.join(o, c.c_custkey == o.o_custkey).hint("merge")
     return (
-        li.hint("shuffle_hash")
-        .join(co, F.col("o_orderkey") == li.l_orderkey)
+        li.join(co, F.col("o_orderkey") == li.l_orderkey)
         .join(
             s,
             (F.col("l_suppkey") == s.s_suppkey)

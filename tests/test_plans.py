@@ -295,21 +295,55 @@ def test_aqe_skew_join_splits_hot_key(spark):
                 spark.conf.set(k, v)
 
 
-def test_fact_table_never_broadcast_builds(spark):
+def _iter_physical_nodes(node):
+    """Walk a physical plan tree INCLUDING the AQE-resolved subtrees:
+    AdaptiveSparkPlan and QueryStage wrappers report zero children, so a
+    plain children() walk sees only the wrapper shell."""
+    yield node
+    ch = node.children()
+    for i in range(ch.size()):
+        yield from _iter_physical_nodes(ch.apply(i))
+    nn = node.nodeName()
+    if nn == "AdaptiveSparkPlan":
+        yield from _iter_physical_nodes(node.executedPlan())
+    elif "QueryStage" in nn:
+        yield from _iter_physical_nodes(node.plan())
+
+
+def test_fact_table_never_hash_builds(spark):
     """r6: lineitem's column-pruned scan estimate sits at the 10 MB
     autoBroadcastJoinThreshold boundary, and without a pin the planner
     intermittently made the FACT the broadcast build side of the q3/q5
     join chains — a single-threaded hash build of the biggest table (and
-    an OOM at real scale if estimates ever mislead there). The
-    shuffle_hash pin on the fact side must keep every BroadcastExchange
-    subtree free of the lineitem scan."""
+    an OOM at real scale if estimates ever mislead there).
+
+    r6b: the first pin (`shuffle_hash` on lineitem) failed the same
+    invariant one level down — Spark's SHUFFLE_HASH hint makes the
+    HINTED side the build side, so the plan hash-built lineitem per
+    partition (SHJ build maps do not spill). The original test only
+    scanned BroadcastExchange subtrees and missed it. This version
+    walks every hash-join node in the FINAL AQE plan and asserts the
+    build-side subtree never contains the lineitem scan, regardless of
+    join strategy; the pin itself is now `merge` on the customer⋈orders
+    side (SortMergeJoin: no build side, both inputs spill)."""
     import __spark_entry__ as em
 
     for name in ("tpch_q3_topk", "tpch_q5"):
         df = em.queries()[name](spark, SF_DIR)
         df.collect()  # final AQE-resolved plan
-        plan = df._jdf.queryExecution().executedPlan().toString()
-        for seg in plan.split("BroadcastExchange")[1:]:
-            # the build subtree is rendered directly under the exchange;
-            # 1.5k chars covers it without reaching sibling operators
-            assert "lineitem.parquet" not in seg[:1500], name
+        root = df._jdf.queryExecution().executedPlan()
+        fact_joins = 0
+        for nd in _iter_physical_nodes(root):
+            if "HashJoin" not in nd.nodeName():
+                continue
+            side = nd.buildSide().toString()
+            build = nd.left() if side == "BuildLeft" else nd.right()
+            assert "lineitem" not in build.toString(), (
+                f"{name}: {nd.nodeName()} {side} hash-builds lineitem"
+            )
+            if "lineitem" in nd.toString():
+                fact_joins += 1
+        # the fact join itself must be streaming-shaped: either SMJ (the
+        # pin) or a hash join probing lineitem — asserted above; make
+        # sure the walk actually saw the plan (wrapper-only walk = bug)
+        assert "SortMergeJoin" in root.toString() or fact_joins > 0, name
