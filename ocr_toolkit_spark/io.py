@@ -134,9 +134,11 @@ def latest_snapshot_id(table_path: str) -> int:
 def _fold_delta(parts: dict, delta: dict) -> None:
     """Fold one snapshot's delta into a cumulative ownership map. A None
     run_id DE-OWNS the partition (the Iceberg delete-manifest analog):
-    it leaves the map, committed-only readers stop listing it, and
-    sweep_orphan_partitions may reclaim its directory. Everything else is
-    an upsert, exactly as before the removal extension."""
+    it leaves the map, committed-only readers stop listing it, and —
+    once no retained snapshot references it any more (expire_snapshots
+    past the de-own) — sweep_orphan_partitions may reclaim its
+    directory. Everything else is an upsert, exactly as before the
+    removal extension."""
     for p, r in delta.items():
         if r is None:
             parts.pop(p, None)
@@ -224,6 +226,25 @@ def snapshots(table_path: str) -> list[dict]:
     return snaps
 
 
+def retained_partitions(table_path: str) -> set[str]:
+    """Partition ids referenced by ANY retained (readable) snapshot — the
+    reclaim boundary for sweep_orphan_partitions and the debris line in
+    table_report. A partition de-owned at the tip (the claim-and-de-own
+    "replace" commits of merge_signature_state / compact_ivf_index) must
+    stay on disk while older retained snapshots still resolve it: time
+    travel at a pre-merge snapshot and incremental consumers catching up
+    across the merge both read those directories. Only after
+    expire_snapshots drops that history does the id leave this set and
+    become sweepable — Iceberg's expireSnapshots → removeOrphanFiles
+    split, at partition granularity. One O(retained-log) driver-side
+    pass; maintenance-only (reads stay on latest_snapshot_id +
+    partitions_as_of)."""
+    seen: set[str] = set()
+    for rec in snapshots(table_path):
+        seen.update(rec["partitions"])
+    return seen
+
+
 def snapshot_commit(
     table_path: str, run_id: str, partition_ids: list[int],
     operation: str = "append",
@@ -236,8 +257,9 @@ def snapshot_commit(
     (recorded as None-valued delta entries; see _fold_delta): the one-step
     swap an N-into-1 rewrite needs — claim the merged partition and drop
     the N sources so no snapshot ever shows both. De-owned directories
-    become invisible to committed-only readers immediately and are
-    reclaimable with sweep_orphan_partitions.
+    become invisible to committed-only readers immediately; they stay on
+    disk for time travel until expire_snapshots drops the history that
+    references them, after which sweep_orphan_partitions reclaims them.
 
     `operation` is the Iceberg snapshot-operation analog: "append" for
     commits that add/change ROWS, "replace" for row-preserving file
@@ -420,13 +442,23 @@ def sweep_orphan_partitions(
     partition_col: str | None = None,
 ) -> list[str]:
     """Iceberg `remove_orphan_files` analog at partition granularity:
-    delete `key=N` directories present on disk but absent from the
-    snapshot log's ownership map — the debris of a writer that died
-    between its parquet write and its snapshot_commit. Reads already
-    exclude such partitions (read_extracted_as_of, read_signature_state,
-    read_ivf_index all filter to committed ids); the sweep reclaims the
-    disk. Also removes a stale Spark `_temporary` staging dir (a write
-    that died mid-job). Returns the removed partition suffixes.
+    delete `key=N` directories present on disk but absent from EVERY
+    retained snapshot's ownership map — the debris of a writer that died
+    between its parquet write and its snapshot_commit, or partitions
+    de-owned by a merge/compaction whose pre-merge history has since
+    been expired. Reads already exclude such partitions
+    (read_extracted_as_of, read_signature_state, read_ivf_index all
+    filter to committed ids); the sweep reclaims the disk. Also removes
+    a stale Spark `_temporary` staging dir (a write that died mid-job).
+    Returns the removed partition suffixes.
+
+    The reclaim boundary is `retained_partitions` — the UNION over all
+    retained snapshots — not the tip's ownership map (r6b review: using
+    the tip deleted merge-de-owned sources that older retained
+    snapshots still referenced, silently emptying time-travel and
+    catch-up incremental reads spanning the merge). To reclaim a
+    merge's sources, first expire_snapshots past the merge commit, then
+    sweep.
 
     The age guard is the correctness core: a partition younger than
     `older_than_s` (newest mtime anywhere under it) may belong to an
@@ -444,14 +476,22 @@ def sweep_orphan_partitions(
     if partition_col is None:
         partition_col = detect_partition_col(table_path)
     tip = latest_snapshot_id(table_path)
-    owned = set(map(str, partitions_as_of(table_path, tip))) if tip else set()
+    owned = retained_partitions(table_path) if tip else set()
     cutoff = time.time() - older_than_s
 
+    def _mtime(p: str) -> float:
+        # a live writer churns files under _temporary/ between the walk's
+        # listing and this stat; a vanished entry is simply not the newest
+        try:
+            return os.path.getmtime(p)
+        except OSError:
+            return 0.0
+
     def newest_mtime(root: str) -> float:
-        newest = os.path.getmtime(root)
+        newest = _mtime(root)
         for dirpath, dirnames, filenames in os.walk(root):
             for n in dirnames + filenames:
-                newest = max(newest, os.path.getmtime(os.path.join(dirpath, n)))
+                newest = max(newest, _mtime(os.path.join(dirpath, n)))
         return newest
 
     swept = []
@@ -663,14 +703,21 @@ def table_report(path: str) -> dict:
                         n_files += 1
                         n_bytes += os.path.getsize(os.path.join(root, f))
             parts[name] = {"files": n_files, "bytes": n_bytes}
-    # uncommitted debris (writer died before its snapshot commit): on disk
-    # but absent from the ownership map. Reads already exclude these;
-    # surfacing them here is how an operator notices sweep_orphan_partitions
-    # has work to do.
+    # orphan = on disk but absent from EVERY retained snapshot (writer died
+    # before its commit, or merge sources whose history has been expired) —
+    # sweep_orphan_partitions has work to do. historical = de-owned at the
+    # tip but still referenced by retained history (merge/compaction
+    # sources): kept for time travel, reclaimable only after expiry.
     tip = latest_snapshot_id(path)
-    owned = set(map(str, partitions_as_of(path, tip))) if tip else set()
+    owned_tip = set(map(str, partitions_as_of(path, tip))) if tip else set()
+    retained = retained_partitions(path) if tip else set()
     orphans = sorted(
-        name for name in parts if name.split("=", 1)[1] not in owned
+        name for name in parts if name.split("=", 1)[1] not in retained
+    ) if tip else []
+    historical = sorted(
+        name for name in parts
+        if name.split("=", 1)[1] in retained
+        and name.split("=", 1)[1] not in owned_tip
     ) if tip else []
     return {
         "partitions": len(parts),
@@ -681,6 +728,7 @@ def table_report(path: str) -> dict:
         ),
         "snapshots": tip,
         "orphan_partitions": orphans,
+        "historical_partitions": historical,
         "by_partition": parts,
     }
 

@@ -452,11 +452,18 @@ def merge_signature_state(
 
     Crash discipline = compact_ivf_index's: merged partition written
     first (an uncommitted orphan until its snapshot), then ONE atomic
-    claim-and-de-own commit (snapshot_commit remove_partition_ids), then
-    source dirs deleted — a crash at any point leaves only invisible,
-    sweepable debris, never a double-visible row. Run quiesced."""
-    import shutil
+    claim-and-de-own commit (snapshot_commit remove_partition_ids) — a
+    crash at any point leaves only invisible, sweepable debris, never a
+    double-visible row. Run quiesced.
 
+    The de-owned source directories are NOT deleted here (r6b review:
+    deleting them emptied time-travel reads at pre-merge snapshots and
+    incremental consumers catching up across the merge, both of which
+    still resolve those partition ids from retained history). They
+    become reclaimable exactly when expire_snapshots has dropped every
+    snapshot that references them; sweep_orphan_partitions' retained-
+    history boundary then removes them — the Iceberg expireSnapshots →
+    removeOrphanFiles split."""
     state = read_signature_state(spark, state_path)
     if state is None:
         raise ValueError(f"no signature state under {state_path}")
@@ -496,11 +503,11 @@ def merge_signature_state(
         state_path, run_id, [new_pid],
         operation="replace", remove_partition_ids=owners,
     )
-    for pid in owners:
-        shutil.rmtree(
-            os.path.join(state_path, f"ingest_id={pid}"), ignore_errors=True
-        )
-    return {"ingests_before": len(owners), "new_ingest": new_pid}
+    return {
+        "ingests_before": len(owners),
+        "new_ingest": new_pid,
+        "deowned": owners,  # historical until expiry, then sweepable
+    }
 
 
 def gc_signature_state(

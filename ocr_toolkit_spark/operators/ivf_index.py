@@ -275,7 +275,7 @@ def compact_ivf_index(
     spark: SparkSession,
     index_path: str,
     run_id: str,
-    remove_old_dirs: bool = True,
+    remove_old_dirs: bool = False,
 ) -> dict:
     """Merge every committed ingest into ONE new ingest partition while
     preserving the nested `cell=` probe-pruning layout — the index-aware
@@ -292,11 +292,16 @@ def compact_ivf_index(
     crash leaves it invisible, sweep_orphan_partitions reclaims it), then
     ONE atomic snapshot claims it and DE-OWNS the sources
     (snapshot_commit remove_partition_ids, operation="replace") — no
-    snapshot ever shows both copies. The de-owned source dirs are deleted
-    after the commit (a crash in between leaves them invisible and
-    sweepable). Run quiesced (no concurrent append/query), like every
-    compaction here; incremental consumers skip the "replace" snapshot.
-    Idempotent on run_id via the log history, like append_ivf_index."""
+    snapshot ever shows both copies. The de-owned source dirs are KEPT
+    by default (r6b review: deleting them broke time-travel reads at
+    pre-compaction snapshots that retained history still resolves);
+    they become sweepable once expire_snapshots drops that history —
+    sweep_orphan_partitions' retained-history boundary then reclaims
+    them. `remove_old_dirs=True` deletes them immediately for callers
+    who have already expired (or never need) pre-compaction history.
+    Run quiesced (no concurrent append/query), like every compaction
+    here; incremental consumers skip the "replace" snapshot. Idempotent
+    on run_id via the log history, like append_ivf_index."""
     import shutil
 
     tip = tio.latest_snapshot_id(index_path)
@@ -316,15 +321,17 @@ def compact_ivf_index(
     owners = sorted(int(p) for p in tio.partitions_as_of(index_path, tip))
     new_pid = owners[-1] + 1
 
-    def count_files() -> int:
+    def count_files(pids) -> int:
+        # files a probe at the then-current tip must open (owned dirs
+        # only — retained-but-de-owned history is never probed)
         n = 0
-        for pid in [*owners, new_pid]:
+        for pid in pids:
             pdir = os.path.join(index_path, f"ingest_id={pid}")
             for _root, _dirs, files in os.walk(pdir):
                 n += sum(1 for f in files if f.endswith(".parquet"))
         return n
 
-    files_before = count_files()
+    files_before = count_files(owners)
     rows = read_ivf_index(spark, index_path)
     n_cells = int(ivf_index_meta(index_path)["n_centroids"])
     (
@@ -349,8 +356,9 @@ def compact_ivf_index(
     return {
         "ingests_before": len(owners),
         "new_ingest": new_pid,
+        "deowned": owners,  # historical until expiry, then sweepable
         "files_before": files_before,
-        "files_after": count_files(),
+        "files_after": count_files([new_pid]),
     }
 
 

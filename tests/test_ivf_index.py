@@ -254,8 +254,11 @@ def test_compact_index_merges_ingests_preserving_pruning(spark, tmpdir_path):
     assert rep["files_after"] < rep["files_before"]
     owners = tio.partitions_as_of(idx, tio.latest_snapshot_id(idx))
     assert sorted(owners) == ["3"]
+    # r6b: sources are de-owned, NOT deleted — retained snapshots still
+    # reference them (time travel); expiry + sweep reclaims them later
+    assert rep["deowned"] == [0, 1, 2]
     for pid in (0, 1, 2):
-        assert not os.path.isdir(os.path.join(idx, f"ingest_id={pid}"))
+        assert os.path.isdir(os.path.join(idx, f"ingest_id={pid}"))
     assert read_ivf_index(spark, idx).count() == 420
 
     after = sorted(
@@ -291,12 +294,21 @@ def test_compact_index_crash_window_never_double_counts(spark, tmpdir_path):
                     "base", n_centroids=N_CLUSTERS)
     append_ivf_index(spark, _mk(spark, _clustered(23, 50, start_id=1000)),
                      idx, "d1")
-    rep = compact_ivf_index(spark, idx, "compact-1", remove_old_dirs=False)
+    rep = compact_ivf_index(spark, idx, "compact-1")
     assert rep["ingests_before"] == 2
     # sources still on disk, but de-owned → invisible, not doubled
     assert os.path.isdir(os.path.join(idx, "ingest_id=0"))
     assert read_ivf_index(spark, idx).count() == 200
-    # and the sweep reclaims them as ordinary orphans
+    # r6b: the sweep must NOT reclaim them while retained snapshots
+    # reference them (time travel / incremental catch-up) ...
+    assert tio.sweep_orphan_partitions(idx, older_than_s=-5) == []
+    assert os.path.isdir(os.path.join(idx, "ingest_id=0"))
+    # ... only after expiry drops the pre-compaction history do they
+    # become ordinary orphans (pad the log past the fold checkpoint so
+    # expire_snapshots has room — pure log commits, no data)
+    while tio.latest_snapshot_id(idx) < tio.CHECKPOINT_EVERY + 1:
+        tio.snapshot_commit(idx, f"pad-{tio.latest_snapshot_id(idx)}", [2])
+    assert tio.expire_snapshots(idx, keep_last=1)
     swept = tio.sweep_orphan_partitions(idx, older_than_s=-5)
     assert swept == ["0", "1"]
     assert read_ivf_index(spark, idx).count() == 200

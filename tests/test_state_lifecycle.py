@@ -346,12 +346,33 @@ def test_merge_collapses_ingests_preserving_rounds(spark, tmpdir_path):
             incremental_dedup_round(spark, df1, u1, s, "r1", **CFG))
 
     n_before = read_signature_state(spark, sA).count()
+    pre_merge_tip = tio.latest_snapshot_id(sA)
     rep = merge_signature_state(spark, sA, "merge-1")
     assert rep["ingests_before"] == 2 and rep["new_ingest"] == 2
     owners = tio.partitions_as_of(sA, tio.latest_snapshot_id(sA))
     assert sorted(owners) == ["2"]
-    assert not os.path.isdir(os.path.join(sA, "ingest_id=0"))
     assert read_signature_state(spark, sA).count() == n_before
+
+    # r6b: the de-owned sources stay on disk while retained snapshots
+    # reference them — time travel at the pre-merge snapshot and an
+    # incremental consumer catching up ACROSS the merge both still read
+    # the original partitions (the old rmtree-after-commit emptied both)
+    assert sorted(rep["deowned"]) == [0, 1]
+    assert os.path.isdir(os.path.join(sA, "ingest_id=0"))
+    pre_owned = [int(p) for p in tio.partitions_as_of(sA, pre_merge_tip)]
+    assert sorted(pre_owned) == [0, 1]
+    as_of = spark.read.parquet(sA).filter(F.col("ingest_id").isin(pre_owned))
+    assert as_of.count() == n_before
+    catchup = [
+        int(p) for p in tio.changed_partitions_between(sA, 0, pre_merge_tip)
+    ]
+    assert sorted(catchup) == [0, 1]
+    # and the sweep refuses to reclaim them while that history is retained
+    assert tio.sweep_orphan_partitions(sA, older_than_s=-5) == []
+    assert os.path.isdir(os.path.join(sA, "ingest_id=1"))
+    report = tio.table_report(sA)
+    assert report["orphan_partitions"] == []
+    assert report["historical_partitions"] == ["ingest_id=0", "ingest_id=1"]
 
     # replay of the merge run_id: nothing rewritten
     tip = tio.latest_snapshot_id(sA)
@@ -423,3 +444,51 @@ def test_gc_replay_returns_persisted_repair(spark, tmpdir_path):
     assert not any(
         "_gc" in p for p in tio.table_report(state)["by_partition"]
     )
+
+
+def test_deowned_dirs_reclaimed_only_after_expiry(tmpdir_path):
+    """r6b: merge/compaction de-owns its source partitions but must NOT
+    delete them while retained snapshots still reference them (time
+    travel + incremental catch-up read those dirs). The reclaim path is
+    Iceberg's: expire_snapshots drops the pre-merge history, THEN
+    sweep_orphan_partitions — whose boundary is retained_partitions, the
+    union over retained snapshots, not the tip map — removes the dirs.
+    Pure log+filesystem, no Spark session needed."""
+    t = os.path.join(tmpdir_path, "tbl")
+    for pid in (0, 1):
+        d = os.path.join(t, f"ingest_id={pid}")
+        os.makedirs(d)
+        with open(os.path.join(d, "part-0.parquet"), "w") as f:
+            f.write("x")
+    tio.snapshot_commit(t, "r0", [0])
+    tio.snapshot_commit(t, "r1", [1])
+    # merge-style atomic claim-and-de-own
+    d2 = os.path.join(t, "ingest_id=2")
+    os.makedirs(d2)
+    with open(os.path.join(d2, "part-0.parquet"), "w") as f:
+        f.write("x")
+    tio.snapshot_commit(
+        t, "m", [2], operation="replace", remove_partition_ids=[0, 1]
+    )
+    assert sorted(tio.retained_partitions(t)) == ["0", "1", "2"]
+    # de-owned but retained → not sweepable, reported as historical
+    assert tio.sweep_orphan_partitions(t, older_than_s=-5) == []
+    rep = tio.table_report(t)
+    assert rep["orphan_partitions"] == []
+    assert rep["historical_partitions"] == ["ingest_id=0", "ingest_id=1"]
+
+    # drive the log past the next checkpoint so expiry can drop the
+    # pre-merge history (nothing below the fold boundary is deletable)
+    while tio.latest_snapshot_id(t) < tio.CHECKPOINT_EVERY + 1:
+        tio.snapshot_commit(t, f"keep-{tio.latest_snapshot_id(t)}", [2])
+    expired = tio.expire_snapshots(t, keep_last=1)
+    assert expired, "pre-merge history should have been expirable"
+    assert sorted(tio.retained_partitions(t)) == ["2"]
+    swept = tio.sweep_orphan_partitions(t, older_than_s=-5)
+    assert swept == ["0", "1"]
+    assert not os.path.isdir(os.path.join(t, "ingest_id=0"))
+    assert os.path.isdir(os.path.join(t, "ingest_id=2"))
+    assert sorted(tio.partitions_as_of(t, tio.latest_snapshot_id(t))) == ["2"]
+    rep = tio.table_report(t)
+    assert rep["orphan_partitions"] == []
+    assert rep["historical_partitions"] == []
