@@ -78,10 +78,33 @@ def load_quantizer(index_path: str) -> np.ndarray:
     return np.load(os.path.join(index_path, QUANTIZER_FILE))
 
 
+def _same_meta(a: dict, b: dict) -> bool:
+    """Config fields must match exactly; base_qerr only approximately —
+    it is a distributed float mean whose partial-sum order varies run to
+    run, so a deterministic retry can differ in the last ulps."""
+    import math
+
+    keys = {"dim", "n_centroids", "seed", "drift_ratio"}
+    if any(a.get(k) != b.get(k) for k in keys):
+        return False
+    return math.isclose(
+        a.get("base_qerr", -1.0), b.get("base_qerr", -1.0), rel_tol=1e-6
+    )
+
+
 def _pin_files(index_path: str, meta: dict, centroids: np.ndarray) -> None:
     """Publish quantizer + meta atomically (os.link create-exclusive, the
     io.snapshot_commit discipline): two racing first builds cannot
-    interleave halves of quantizer and meta; losers raise loudly."""
+    interleave halves of quantizer and meta.
+
+    A retry AFTER a crash between this pin and ingest 0's snapshot
+    commit lands here with the files already present (r6b review: the
+    unconditional raise permanently wedged the path — build refused
+    'already initialized' while append found tip==0 and crashed). An
+    IDENTICAL pin (same config, same centroids, base_qerr equal to
+    float-mean reproducibility) is tolerated so the retry can proceed to
+    commit ingest 0; a DIFFERENT pin still raises loudly — that is a
+    genuinely different index, not a crashed copy of this one."""
     import uuid as _uuid
 
     os.makedirs(index_path, exist_ok=True)
@@ -89,17 +112,25 @@ def _pin_files(index_path: str, meta: dict, centroids: np.ndarray) -> None:
         (QUANTIZER_FILE, lambda f: np.save(f, centroids)),
         (META_FILE, lambda f: f.write(json.dumps(meta))),
     ):
+        dest = os.path.join(index_path, name)
         tmp = os.path.join(index_path, f".{name}.{_uuid.uuid4().hex}.tmp")
         mode = "wb" if name.endswith(".npy") else "w"
         with open(tmp, mode) as f:
             write(f)
         try:
-            os.link(tmp, os.path.join(index_path, name))
+            os.link(tmp, dest)
         except FileExistsError as e:
-            raise ValueError(
-                f"IVF index at {index_path} already initialized — "
-                "rebuild into a fresh path or append to the existing index"
-            ) from e
+            if name == QUANTIZER_FILE:
+                same = np.array_equal(np.load(dest), centroids)
+            else:
+                with open(dest) as g:
+                    same = _same_meta(json.load(g), meta)
+            if not same:
+                raise ValueError(
+                    f"IVF index at {index_path} already initialized with "
+                    "a DIFFERENT quantizer/config — rebuild into a fresh "
+                    "path or append to the existing index"
+                ) from e
         finally:
             os.unlink(tmp)
 
@@ -171,7 +202,32 @@ def build_ivf_index(
     vec_col: str = "embedding",
 ) -> dict:
     """Train the quantizer on the base corpus, pin it, assign + commit
-    ingest 0. Returns {n_vectors, n_centroids, base_qerr}."""
+    ingest 0. Returns {n_vectors, n_centroids, base_qerr}.
+
+    Crash recovery (r6b): a retry after a crash between the pin and
+    ingest 0's commit re-trains (deterministic: seeded sample), finds
+    the identical pin already present (_pin_files tolerates it), and
+    proceeds to commit ingest 0 — no manual deletion needed. A retry of
+    a COMPLETED build under the same run_id returns {replayed: True}
+    without touching the log (an unconditional rewrite would append a
+    second snapshot claiming ingest 0, making incremental consumers
+    reprocess the whole base); a different run_id against a committed
+    index raises — that is append_ivf_index's job."""
+    tip = tio.latest_snapshot_id(index_path)
+    if tip:
+        for snap in tio.snapshots(index_path):
+            if snap["run_id"] == run_id and "0" in (snap.get("delta") or {}):
+                meta = ivf_index_meta(index_path)
+                return {
+                    "n_vectors": 0,
+                    "n_centroids": meta["n_centroids"],
+                    "base_qerr": meta["base_qerr"],
+                    "replayed": True,
+                }
+        raise ValueError(
+            f"IVF index at {index_path} already has committed ingests — "
+            "append_ivf_index to grow it, or rebuild into a fresh path"
+        )
     centroids = train_ivf_centroids(
         vectors, dim, n_centroids, seed=seed, id_col=id_col, vec_col=vec_col
     )
@@ -211,6 +267,13 @@ def append_ivf_index(
     meta = ivf_index_meta(index_path)
     if meta is None:
         raise ValueError(f"no IVF index under {index_path}")
+    if tio.latest_snapshot_id(index_path) == 0:
+        raise ValueError(
+            f"IVF index at {index_path} is pinned but has no committed "
+            "ingest — a build crashed between its pin and ingest 0's "
+            "commit; re-run build_ivf_index with the same inputs to "
+            "recover (the identical pin is tolerated), then append"
+        )
     centroids = load_quantizer(index_path)
 
     # replay check against retained history (append ops only) — the
@@ -236,7 +299,13 @@ def append_ivf_index(
             "ingest snapshot makes the index unreadable. Skip the round."
         )
     qerr = _mean_qerr(assigned, centroids, "embedding")
-    ratio = qerr / meta["base_qerr"] if meta["base_qerr"] > 0 else 1.0
+    if meta["base_qerr"] > 0:
+        ratio = qerr / meta["base_qerr"]
+    else:
+        # a zero-error base (every base vector IS a centroid) gives no
+        # scale: any positive delta error is infinite drift, not "no
+        # drift" — the r6b review's silent-disable edge
+        ratio = 0.0 if qerr <= 1e-12 else float("inf")
     if ratio > meta["drift_ratio"]:
         raise IvfDriftError(
             f"delta quantization error {qerr:.4f} is {ratio:.2f}× the "

@@ -130,9 +130,9 @@ def test_empty_delta_refused_and_meta_pinned(spark, tmpdir_path):
     empty = spark.createDataFrame([], "vec_id int, embedding array<float>")
     with pytest.raises(ValueError, match="EMPTY delta"):
         append_ivf_index(spark, empty, idx, "r-empty")
-    # double-build into the same path is refused (quantizer pin is
-    # create-exclusive)
-    with pytest.raises(ValueError, match="already initialized"):
+    # double-build into the same path is refused (r6b: now caught on the
+    # committed log BEFORE re-training, not at the pin)
+    with pytest.raises(ValueError, match="already has committed ingests"):
         build_ivf_index(spark, _mk(spark, _clustered(9, 80)), DIM, idx,
                         "base2", n_centroids=N_CLUSTERS)
 
@@ -312,3 +312,74 @@ def test_compact_index_crash_window_never_double_counts(spark, tmpdir_path):
     swept = tio.sweep_orphan_partitions(idx, older_than_s=-5)
     assert swept == ["0", "1"]
     assert read_ivf_index(spark, idx).count() == 200
+
+
+def test_build_crash_between_pin_and_commit_is_recoverable(
+        spark, tmpdir_path, monkeypatch):
+    """r6b: a build that dies between _pin_files and ingest 0's snapshot
+    commit used to wedge the path permanently (build raised 'already
+    initialized', append crashed on an empty ownership map). The retry
+    must re-train to the identical pin, tolerate it, and commit."""
+    import ocr_toolkit_spark.operators.ivf_index as ivf
+
+    idx = os.path.join(tmpdir_path, "ivf")
+    base = _mk(spark, _clustered(41, 200))
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated crash after pin")
+
+    monkeypatch.setattr(ivf, "_write_ingest", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        build_ivf_index(spark, base, DIM, idx, "base",
+                        n_centroids=N_CLUSTERS, seed=11)
+    monkeypatch.undo()
+    # wedged state: pinned, tip 0 — append must explain the recovery path
+    assert ivf_index_meta(idx) is not None
+    assert tio.latest_snapshot_id(idx) == 0
+    with pytest.raises(ValueError, match="re-run build_ivf_index"):
+        append_ivf_index(
+            spark, _mk(spark, _clustered(42, 20, start_id=1000)), idx, "d1")
+
+    # the retry completes end-to-end
+    rep = build_ivf_index(spark, base, DIM, idx, "base",
+                          n_centroids=N_CLUSTERS, seed=11)
+    assert rep["n_vectors"] == 200 and tio.latest_snapshot_id(idx) == 1
+    assert read_ivf_index(spark, idx).count() == 200
+
+    # replay of the COMPLETED build: no new snapshot, no rewrite
+    rep2 = build_ivf_index(spark, base, DIM, idx, "base",
+                           n_centroids=N_CLUSTERS, seed=11)
+    assert rep2.get("replayed") and tio.latest_snapshot_id(idx) == 1
+    # a different run_id against a committed index is an error, not a
+    # silent second base
+    with pytest.raises(ValueError, match="already has committed ingests"):
+        build_ivf_index(spark, base, DIM, idx, "base-2",
+                        n_centroids=N_CLUSTERS, seed=11)
+
+    # a retry with a DIFFERENT config against a wedged pin still refuses
+    # loudly — tolerance is for the identical crashed build only
+    idx2 = os.path.join(tmpdir_path, "ivf2")
+    monkeypatch.setattr(ivf, "_write_ingest", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        build_ivf_index(spark, base, DIM, idx2, "base",
+                        n_centroids=N_CLUSTERS, seed=11)
+    monkeypatch.undo()
+    with pytest.raises(ValueError, match="DIFFERENT quantizer/config"):
+        build_ivf_index(spark, base, DIM, idx2, "base",
+                        n_centroids=N_CLUSTERS, seed=12)
+
+
+def test_zero_error_base_treats_any_drift_as_infinite(spark, tmpdir_path):
+    """r6b: when the base's quantization error is exactly 0 (every base
+    vector IS a centroid — tiny bases do this), the old ratio fell back
+    to 1.0 and silently disabled the drift guard; any positive delta
+    error must instead be infinite drift and refuse the append."""
+    idx = os.path.join(tmpdir_path, "ivf0")
+    base_rows = [(i, [1.0 if j == i else 0.0 for j in range(DIM)])
+                 for i in range(4)]
+    rep = build_ivf_index(spark, _mk(spark, base_rows), DIM, idx, "base",
+                          n_centroids=4, seed=5)
+    assert rep["base_qerr"] == 0.0
+    drifted = _mk(spark, _clustered(43, 20, start_id=100))
+    with pytest.raises(IvfDriftError):
+        append_ivf_index(spark, drifted, idx, "d1")
