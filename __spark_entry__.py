@@ -980,36 +980,26 @@ def q_embedding_near_dups(spark, sf_dir):
     is the exact cosine computed from the payload vectors at verification
     time, and the output carries the bound itself (min_sim ≥ threshold ⇒
     meets_threshold) plus the capped-bucket totals, the same pattern as
-    minhash/simhash. The SRP-bucketed frame is materialized ONCE and
-    shared by the pair join and the caps report (no double bucketing)."""
+    minhash/simhash. The SRP-bucketed frame is materialized ONCE inside
+    the operator and shared by the pair join and the caps report (r6b:
+    via `return_bucketed=True` — this entry previously inlined the
+    operator's body to share that frame, and the copies had drifted)."""
     from ocr_toolkit_spark.operators.similarity import (
         cosine,
-        make_srp_bucketer,
+        embedding_near_dups,
     )
     from ocr_toolkit_spark.operators.skew import (
         materialize,
         oversized_bucket_stats,
-        star_capped_pairs,
     )
 
     e = _t(spark, sf_dir, "embeddings")
     dim = len(e.select("embedding").first()[0])
-    bucketer = make_srp_bucketer(dim, 8, 42)
-    v = materialize(
-        e.select(
-            F.col("vec_id").alias("id"),
-            F.col("embedding").alias("vec"),
-            bucketer(F.col("embedding")).alias("bucket"),
-        )
+    raw_pairs, v = embedding_near_dups(
+        e, dim=dim, threshold=0.9, n_bits=8, seed=42,
+        id_col="vec_id", vec_col="embedding", return_bucketed=True,
     )
-    pairs = materialize(
-        star_capped_pairs(v, ["bucket"], "id", payload_cols=("vec",),
-                          materialize_input=False)
-        .withColumn("sim", cosine(F.col("vec_a"), F.col("vec_b")))
-        .filter(F.col("sim") >= 0.9)
-        .select("id_a", "id_b", "sim")
-        .distinct()  # a pair can collide in several buckets
-    )
+    pairs = materialize(raw_pairs.distinct())
     caps = oversized_bucket_stats(v, ["bucket"]).agg(
         F.count("*").alias("buckets_capped"),
         F.coalesce(F.sum("pairs_avoided"), F.lit(0)).alias("pairs_avoided"),

@@ -245,6 +245,50 @@ def retained_partitions(table_path: str) -> set[str]:
     return seen
 
 
+def find_run_snapshot(
+    table_path: str,
+    run_id: str,
+    operation: str = "append",
+    require_removal: bool = False,
+) -> dict | None:
+    """The claim-and-replay discipline in ONE place (r6b review: five
+    slightly-diverged inline copies): scan RETAINED history for a
+    snapshot committed by `run_id` with the given operation and return
+    its record, None if absent. A hit means "this round already
+    committed" — the caller reports `claimed_partition(hit)` and writes
+    nothing. `require_removal=True` additionally demands a de-own entry
+    (merge/compaction commits carry them; a plain rewrite does not).
+
+    Legacy cumulative-only records (no `delta`) never match: they
+    predate the claim discipline and cannot prove which partition a
+    run claimed. The expiry boundary contract: only retained history is
+    scanned, so replay idempotence holds exactly as long as retention
+    exceeds the retry horizon — replaying a round whose snapshot has
+    been EXPIRED re-executes it (documented at append_signatures and
+    pinned by test_expiry_window_and_boundary)."""
+    if latest_snapshot_id(table_path) == 0:
+        return None
+    for rec in snapshots(table_path):
+        if rec["run_id"] != run_id:
+            continue
+        if rec.get("operation", "append") != operation:
+            continue
+        if not rec.get("delta"):
+            continue  # legacy cumulative-only record
+        if require_removal and not any(
+            v is None for v in rec["delta"].values()
+        ):
+            continue
+        return rec
+    return None
+
+
+def claimed_partition(snap: dict) -> int:
+    """Smallest partition id CLAIMED (not de-owned) by a snapshot — the
+    ingest id a replayed round reports without re-writing anything."""
+    return min(int(p) for p, r in snap["delta"].items() if r is not None)
+
+
 def snapshot_commit(
     table_path: str, run_id: str, partition_ids: list[int],
     operation: str = "append",

@@ -166,14 +166,10 @@ def append_signatures(banded: DataFrame, state_path: str, run_id: str) -> int:
         )
     tip = tio.latest_snapshot_id(state_path)
     if tip:
-        for snap in tio.snapshots(state_path):
-            if (
-                snap["run_id"] == run_id
-                and snap.get("operation", "append") == "append"
-                and snap.get("delta")
-            ):
-                # this round already committed; its ingest id is its claim
-                return min(int(p) for p in snap["delta"])
+        snap = tio.find_run_snapshot(state_path, run_id)
+        if snap:
+            # this round already committed; its ingest id is its claim
+            return tio.claimed_partition(snap)
         owners = tio.partitions_as_of(state_path, tip)
         nxt = max(int(p) for p in owners) + 1
     else:
@@ -467,17 +463,11 @@ def merge_signature_state(
     state = read_signature_state(spark, state_path)
     if state is None:
         raise ValueError(f"no signature state under {state_path}")
-    for snap in tio.snapshots(state_path):
-        if (
-            snap["run_id"] == run_id
-            and snap.get("operation") == "replace"
-            and snap.get("delta")
-            and any(r is None for r in snap["delta"].values())
-        ):
-            pid = min(
-                int(p) for p, r in snap["delta"].items() if r is not None
-            )
-            return {"new_ingest": pid, "replayed": True}
+    snap = tio.find_run_snapshot(
+        state_path, run_id, operation="replace", require_removal=True
+    )
+    if snap:
+        return {"new_ingest": tio.claimed_partition(snap), "replayed": True}
 
     if state.isEmpty():
         # same contract as append_signatures' empty-frame refusal
@@ -570,19 +560,15 @@ def gc_signature_state(
         state_path, "_gc",
         f"repair-{hashlib.sha1(run_id.encode()).hexdigest()[:16]}",
     )
-    for snap in tio.snapshots(state_path):
-        if (
-            snap["run_id"] == run_id
-            and snap.get("operation") == "delete"
-        ):
-            if os.path.isdir(repair_dir):
-                return spark.read.parquet(repair_dir)
-            # legacy GC (pre-persistence): fully applied, repair unknown
-            raise ValueError(
-                f"GC run '{run_id}' already committed to {state_path} "
-                "but its repair pairs were not persisted (pre-r6b run) — "
-                "they cannot be recomputed from the post-GC state"
-            )
+    if tio.find_run_snapshot(state_path, run_id, operation="delete"):
+        if os.path.isdir(repair_dir):
+            return spark.read.parquet(repair_dir)
+        # legacy GC (pre-persistence): fully applied, repair unknown
+        raise ValueError(
+            f"GC run '{run_id}' already committed to {state_path} "
+            "but its repair pairs were not persisted (pre-r6b run) — "
+            "they cannot be recomputed from the post-GC state"
+        )
     tomb = tombstones.toDF("id")
 
     # buckets that contained a tombstoned doc, with the smallest removed id

@@ -215,15 +215,15 @@ def build_ivf_index(
     index raises — that is append_ivf_index's job."""
     tip = tio.latest_snapshot_id(index_path)
     if tip:
-        for snap in tio.snapshots(index_path):
-            if snap["run_id"] == run_id and "0" in (snap.get("delta") or {}):
-                meta = ivf_index_meta(index_path)
-                return {
-                    "n_vectors": 0,
-                    "n_centroids": meta["n_centroids"],
-                    "base_qerr": meta["base_qerr"],
-                    "replayed": True,
-                }
+        snap = tio.find_run_snapshot(index_path, run_id)
+        if snap and tio.claimed_partition(snap) == 0:
+            meta = ivf_index_meta(index_path)
+            return {
+                "n_vectors": 0,
+                "n_centroids": meta["n_centroids"],
+                "base_qerr": meta["base_qerr"],
+                "replayed": True,
+            }
         raise ValueError(
             f"IVF index at {index_path} already has committed ingests — "
             "append_ivf_index to grow it, or rebuild into a fresh path"
@@ -277,18 +277,12 @@ def append_ivf_index(
     centroids = load_quantizer(index_path)
 
     # replay check against retained history (append ops only) — the
-    # append_signatures discipline; see that docstring for the expiry
-    # boundary contract
-    for snap in tio.snapshots(index_path) if tio.latest_snapshot_id(
-            index_path) else []:
-        if (
-            snap["run_id"] == run_id
-            and snap.get("operation", "append") == "append"
-            and snap.get("delta")
-        ):
-            pid = min(int(p) for p in snap["delta"])
-            return {"ingest_id": pid, "n_vectors": 0, "qerr": None,
-                    "qerr_ratio": None, "replayed": True}
+    # shared claim-and-replay discipline; see io.find_run_snapshot for
+    # the expiry boundary contract
+    snap = tio.find_run_snapshot(index_path, run_id)
+    if snap:
+        return {"ingest_id": tio.claimed_partition(snap), "n_vectors": 0,
+                "qerr": None, "qerr_ratio": None, "replayed": True}
 
     assigned = _assigned(delta_vectors, centroids, id_col, vec_col)
     assigned = assigned.localCheckpoint(eager=True)
@@ -376,16 +370,11 @@ def compact_ivf_index(
     tip = tio.latest_snapshot_id(index_path)
     if tip == 0:
         raise ValueError(f"no committed IVF index under {index_path}")
-    for snap in tio.snapshots(index_path):
-        if (
-            snap["run_id"] == run_id
-            and snap.get("operation") == "replace"
-            and snap.get("delta")
-        ):
-            pid = min(
-                int(p) for p, r in snap["delta"].items() if r is not None
-            )
-            return {"new_ingest": pid, "replayed": True}
+    snap = tio.find_run_snapshot(
+        index_path, run_id, operation="replace", require_removal=True
+    )
+    if snap:
+        return {"new_ingest": tio.claimed_partition(snap), "replayed": True}
 
     owners = sorted(int(p) for p in tio.partitions_as_of(index_path, tip))
     new_pid = owners[-1] + 1

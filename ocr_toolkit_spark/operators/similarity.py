@@ -316,22 +316,37 @@ def embedding_near_dups(
     vec_col: str = "embedding",
     max_bucket: int = DEFAULT_MAX_BUCKET,
     materialize_frames: bool = True,
+    return_bucketed: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via SRP bucket self-join +
     exact verification (the embedding analog of MinHash-LSH dedup).
     Buckets above `max_bucket` members are star-linked to a representative
-    instead of all-paired (operators/skew.py)."""
+    instead of all-paired (operators/skew.py).
+
+    `return_bucketed=True` returns `(pairs, bucketed)` where `bucketed`
+    is the MATERIALIZED (id, vec, bucket) frame the pairs were built
+    from — a caller that also needs bucket-level reporting
+    (oversized_bucket_stats in the driver entry) reuses it instead of
+    re-bucketing (r6b review: the entry had grown an inline copy of
+    this operator's whole body just to share that frame, and the two
+    copies had already drifted on defaults)."""
+    from .skew import materialize
+
     bucketer = make_srp_bucketer(dim, n_bits, seed)
     v = vectors.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
         bucketer(F.col(vec_col)).alias("bucket"),
     )
-    return (
+    if return_bucketed:
+        v = materialize(v)  # compute SRP signatures ONCE for both uses
+    pairs = (
         star_capped_pairs(v, ["bucket"], "id", payload_cols=("vec",),
                           max_bucket=max_bucket,
-                          materialize_input=materialize_frames)
+                          materialize_input=materialize_frames
+                          and not return_bucketed)
         .withColumn("sim", cosine(F.col("vec_a"), F.col("vec_b")))
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
     )
+    return (pairs, v) if return_bucketed else pairs
