@@ -263,6 +263,50 @@ def main() -> int:
             if k != "by_partition"
         },
     })
+
+    # --- r6b retention leg: merge sources live exactly as long as the ---
+    # history referencing them. While retained snapshots still resolve
+    # the pre-merge ingests, the sweep must refuse them (they are
+    # `historical`, time-travel-reachable); after padding the log past
+    # the next fold checkpoint, expiry drops that history and the SAME
+    # sweep reclaims every source dir — state rows never move.
+    rows_before = st.count()
+    rep0 = tio.table_report(state)
+    refused = tio.sweep_orphan_partitions(state, older_than_s=-5)
+    if refused:
+        raise AssertionError(
+            f"sweep reclaimed retained history: {refused}")
+    n_hist = len(rep0["historical_partitions"])
+    # pad with pure log commits (no data) until the fold boundary of the
+    # oldest retained id can pass the merge commit, then expire
+    tip_owned = [int(p) for p in
+                 tio.partitions_as_of(state, tio.latest_snapshot_id(state))]
+    target = ((tio.latest_snapshot_id(state) // tio.CHECKPOINT_EVERY) + 1
+              ) * tio.CHECKPOINT_EVERY + keep_last
+    t0 = time.time()
+    while tio.latest_snapshot_id(state) < target:
+        tio.snapshot_commit(state, f"retention-pad-{tio.latest_snapshot_id(state)}",
+                            [max(tip_owned)])
+    expired = tio.expire_snapshots(state, keep_last)
+    swept = tio.sweep_orphan_partitions(state, older_than_s=-5)
+    rows_after = read_signature_state(spark, state).count()
+    out_j["retention"] = {
+        "historical_before": n_hist,
+        "sweep_refused_while_retained": True,
+        "expired_snapshots": len(expired),
+        "swept_after_expiry": len(swept),
+        "state_rows_before": rows_before,
+        "state_rows_after": rows_after,
+        "sec": round(time.time() - t0, 2),
+    }
+    if rows_after != rows_before:
+        raise AssertionError(
+            f"retention leg changed state rows: {rows_before} -> {rows_after}")
+    if n_hist and len(swept) < n_hist:
+        raise AssertionError(
+            f"expiry freed history but sweep reclaimed only {swept} "
+            f"of {n_hist} historical partitions")
+    print(json.dumps({"retention": out_j["retention"]}), flush=True)
     print(json.dumps({k: v for k, v in out_j.items()
                       if k not in ("per_cycle", "maintenance")}), flush=True)
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
