@@ -194,30 +194,38 @@ def main(argv: list[str] | None = None) -> int:
                           "tip": tio.latest_snapshot_id(args.sweep_orphans)}))
         return 0
     if args.compact_index:
-        import uuid as _uuid
-
+        from ocr_toolkit_spark import io as tio
         from ocr_toolkit_spark.operators.ivf_index import compact_ivf_index
         from ocr_toolkit_spark.session import get_spark
 
         spark = get_spark(app_name="ocr-compact-index", master=args.master)
+        # deterministic run_id from the pre-compaction tip: a retry after
+        # a CRASH (tip unchanged) replays through the log instead of
+        # appending a second merged partition; a rerun after SUCCESS hits
+        # the already-compact noop inside compact_ivf_index
+        tip = tio.latest_snapshot_id(args.compact_index)
         res = compact_ivf_index(
             spark, args.compact_index,
-            run_id=f"compact-index-{_uuid.uuid4().hex[:8]}")
+            run_id=f"compact-index-snap{tip}")
         print(json.dumps(res))
         spark.stop()
         return 0
     if args.merge_state:
-        import uuid as _uuid
-
+        from ocr_toolkit_spark import io as tio
         from ocr_toolkit_spark.operators.incremental import (
             merge_signature_state,
         )
         from ocr_toolkit_spark.session import get_spark
 
         spark = get_spark(app_name="ocr-merge-state", master=args.master)
+        # deterministic run_id from the pre-merge tip: a retry after a
+        # CRASH (tip unchanged) replays through the log instead of
+        # appending a second merged partition; a rerun after SUCCESS
+        # hits the single-owner noop inside merge_signature_state
+        tip = tio.latest_snapshot_id(args.merge_state)
         res = merge_signature_state(
             spark, args.merge_state,
-            run_id=f"merge-state-{_uuid.uuid4().hex[:8]}")
+            run_id=f"merge-state-snap{tip}")
         print(json.dumps(res))
         spark.stop()
         return 0
@@ -286,7 +294,14 @@ def main(argv: list[str] | None = None) -> int:
 
         state, tomb_path, corpus_path = args.state_gc
         spark = get_spark(app_name="ocr-state-gc", master=args.master)
-        tomb = spark.read.parquet(tomb_path).select(F.col("id"))
+        # the contract is "one id column", not "a column named id"
+        # (r6c review: gc_signature_state's toDF("id") renames whatever
+        # arrives; doc_id-named tombstone files failed before GC started)
+        tomb_raw = spark.read.parquet(tomb_path)
+        if len(tomb_raw.columns) != 1:
+            p.error(f"--state-gc tombstone file {tomb_path} must have "
+                    f"exactly one id column, found {tomb_raw.columns}")
+        tomb = tomb_raw.select(F.col(tomb_raw.columns[0]).alias("id"))
         corpus = spark.read.parquet(corpus_path)
         # deterministic run_id over the tombstone batch (order-independent
         # sum of per-id hashes): a retried GC of the same batch replays —

@@ -520,7 +520,18 @@ def sweep_orphan_partitions(
     if partition_col is None:
         partition_col = detect_partition_col(table_path)
     tip = latest_snapshot_id(table_path)
-    owned = retained_partitions(table_path) if tip else set()
+    if tip == 0:
+        # no snapshot log → no ownership map → EVERY partition would
+        # classify as an orphan and the sweep would delete the whole
+        # table (r6c review: legacy lineage-committed tables and plain
+        # partitioned parquet reach here via detect_partition_col).
+        # Loud refusal over guessing, like every maintenance op here.
+        raise ValueError(
+            f"sweep_orphan_partitions: no snapshot log under "
+            f"{table_path} — without one there is no committed/orphan "
+            "distinction and sweeping would delete every partition"
+        )
+    owned = retained_partitions(table_path)
     cutoff = time.time() - older_than_s
 
     def _mtime(p: str) -> float:

@@ -479,6 +479,15 @@ def merge_signature_state(
         )
     tip = tio.latest_snapshot_id(state_path)
     owners = sorted(int(p) for p in tio.partitions_as_of(state_path, tip))
+    if len(owners) == 1:
+        # already merged: a 1→1 rewrite would append another replace
+        # snapshot and another historical directory per invocation (r6c
+        # review: the CLI cannot replay a rerun AFTER success — its
+        # tip-derived run_id changes once the merge commits — so this
+        # noop is what makes repeated --merge-state idempotent). File
+        # count within the one partition is compact_signature_state's
+        # job, not merge's.
+        return {"ingests_before": 1, "new_ingest": owners[0], "noop": True}
     new_pid = owners[-1] + 1
     (
         state.withColumn("ingest_id", F.lit(new_pid))
@@ -540,17 +549,23 @@ def gc_signature_state(
     `tombstones` is a one-column DataFrame of deleted ids; `corpus_df`
     is the LIVE corpus (tombstones already removed).
 
-    REPLAY-SAFE (r6b): the repair pairs are persisted under the state's
-    `_gc/` dir (underscore-prefixed → invisible to Spark's file index,
-    like `_snapshots`) BEFORE the delete commit, and a rerun of a
-    committed run_id returns them from there. Without this, a retry
-    after the commit would recompute `removed` as EMPTY (the tombstoned
-    rows are already gone) and return zero repair pairs — if the caller
-    crashed before persisting the originals, the severed star links
-    would be unrecoverable, since the post-GC state no longer knows
-    which buckets lost their rep."""
+    REPLAY-SAFE (r6b): the repair pairs AND the rewritten partition list
+    are persisted under the state's `_gc/` dir (underscore-prefixed →
+    invisible to Spark's file index, like `_snapshots`) BEFORE any
+    rewrite, and a rerun of a committed run_id returns them from there.
+    Without this, a retry after the commit would recompute `removed` as
+    EMPTY (the tombstoned rows are already gone) and return zero repair
+    pairs — if the caller crashed before persisting the originals, the
+    severed star links would be unrecoverable, since the post-GC state
+    no longer knows which buckets lost their rep.
+
+    The same persistence closes the crash window BETWEEN the partition
+    rewrite and the delete commit (r6c review): a retry finds the
+    persisted pids + pairs and RESUMES — re-applies the (idempotent)
+    rewrite to exactly those partitions and commits — instead of
+    recomputing from a half-rewritten state, which would see no
+    tombstoned rows, skip the commit, and return an empty repair."""
     import hashlib
-    import shutil
 
     meta = signature_state_meta(state_path)
     state = read_signature_state(spark, state_path)
@@ -560,6 +575,7 @@ def gc_signature_state(
         state_path, "_gc",
         f"repair-{hashlib.sha1(run_id.encode()).hexdigest()[:16]}",
     )
+    pids_file = os.path.join(repair_dir, "_pids.json")
     if tio.find_run_snapshot(state_path, run_id, operation="delete"):
         if os.path.isdir(repair_dir):
             return spark.read.parquet(repair_dir)
@@ -570,6 +586,17 @@ def gc_signature_state(
             "they cannot be recomputed from the post-GC state"
         )
     tomb = tombstones.toDF("id")
+    if os.path.isfile(pids_file):
+        # a prior attempt persisted its plan and crashed before the
+        # delete commit — possibly mid-rewrite. Resume it: the repair
+        # pairs and pid list were computed from the PRE-rewrite state
+        # and are the one remaining record of it.
+        with open(pids_file) as f:
+            pids = json.load(f)
+        repair = spark.read.parquet(repair_dir)
+        _apply_gc_rewrite(spark, state, tomb, state_path, pids)
+        tio.snapshot_commit(state_path, run_id, pids, operation="delete")
+        return repair
 
     # buckets that contained a tombstoned doc, with the smallest removed id
     removed = state.join(F.broadcast(tomb), "id", "left_semi")
@@ -611,29 +638,66 @@ def gc_signature_state(
         r[0] for r in removed.select("ingest_id").distinct().collect()
     )
     if pids:
-        # persist the repair pairs BEFORE the rewrite and delete commit:
-        # the one record of the severed links a post-commit retry can
-        # still read (see the replay note above). Overwrite handles a
-        # retry that crashed between this write and the commit.
-        repair.write.mode("overwrite").parquet(repair_dir)
-        keep_rows = state.filter(F.col("ingest_id").isin(pids)).join(
-            F.broadcast(tomb), "id", "left_anti"
-        )
-        nonempty = {
-            r[0] for r in keep_rows.select("ingest_id").distinct().collect()
-        }
-        if nonempty:
-            (
-                keep_rows.write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("ingest_id")
-                .parquet(state_path)
+        if state.join(F.broadcast(tomb), "id", "left_anti").isEmpty():
+            # the same brick mode append_signatures and
+            # merge_signature_state refuse (r6c review): rmtree'ing every
+            # ingest dir while committing a tip>0 delete snapshot leaves
+            # a state read_signature_state can never read back (no
+            # parquet files → no inferable schema), wedging every later
+            # round. Tombstoning the whole corpus means the state is
+            # DONE — drop the table, don't GC it.
+            raise ValueError(
+                f"gc_signature_state: tombstones cover every doc in the "
+                f"state at {state_path} — refusing to empty it. Delete "
+                "the state directory instead."
             )
-        for pid in pids:
-            if pid not in nonempty:
-                shutil.rmtree(
-                    os.path.join(state_path, f"ingest_id={pid}"),
-                    ignore_errors=True,
-                )
+        # persist the repair pairs AND the pid plan BEFORE the rewrite
+        # and delete commit: the one record of the severed links (and of
+        # which partitions were being rewritten) that a retry after a
+        # crash anywhere past this point can still read — see the
+        # replay note above. Overwrite handles a retry that crashed
+        # between this write and the commit; the pids file is written
+        # LAST, so its presence implies the repair parquet is complete.
+        repair.write.mode("overwrite").parquet(repair_dir)
+        with open(pids_file, "w") as f:
+            json.dump(pids, f)
+        _apply_gc_rewrite(spark, state, tomb, state_path, pids)
         tio.snapshot_commit(state_path, run_id, pids, operation="delete")
     return repair
+
+
+def _apply_gc_rewrite(
+    spark: SparkSession,
+    state: DataFrame,
+    tomb: DataFrame,
+    state_path: str,
+    pids: list[int],
+) -> None:
+    """Rewrite the given ingest partitions minus tombstoned ids — the
+    physical half of gc_signature_state, idempotent so the resume path
+    can re-apply it over a half-rewritten state (already-clean
+    partitions rewrite to themselves; already-removed dirs read as
+    empty and rmtree is a no-op)."""
+    import shutil
+
+    keep_rows = state.filter(F.col("ingest_id").isin(pids)).join(
+        F.broadcast(tomb), "id", "left_anti"
+    )
+    nonempty = {
+        r[0] for r in keep_rows.select("ingest_id").distinct().collect()
+    }
+    if nonempty:
+        (
+            keep_rows.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_id")
+            .parquet(state_path)
+        )
+    for pid in pids:
+        if pid not in nonempty:
+            # dynamic overwrite cannot write an empty partition; a
+            # partition emptied entirely has its files removed explicitly
+            shutil.rmtree(
+                os.path.join(state_path, f"ingest_id={pid}"),
+                ignore_errors=True,
+            )

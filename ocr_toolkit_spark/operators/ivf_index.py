@@ -26,10 +26,12 @@ other table here (io.py):
   unprobed ~(1 − n_probe/n_centroids) of the index is never opened) —
   and exact cosine re-ranks inside.
 
-The two-level layout is deliberate: dynamic partition overwrite keyed on
-`ingest_id` makes per-ingest appends idempotent WITHOUT clobbering other
-ingests' rows in the same cell (a cell-only layout would), while the
-nested `cell=` directories still give scans partition pruning on probes.
+The two-level layout is deliberate: writes replace exactly their own
+`ingest_id=N` subtree (the dir is cleared first — dynamic overwrite alone
+is keyed on (ingest_id, cell) and would leave a crashed writer's
+uncovered cells behind) WITHOUT clobbering other ingests' rows in the
+same cell (a cell-only layout would), while the nested `cell=`
+directories still give scans partition pruning on probes.
 
 Reference analog: none — the reference has no vector search; this mirrors
 the public FAISS IVF design (train-once quantizer, append-only inverted
@@ -177,8 +179,27 @@ def _assigned(vectors: DataFrame, centroids: np.ndarray,
     )
 
 
+def _clear_uncommitted_ingest(index_path: str, ingest_id: int) -> None:
+    """Remove a target ingest dir before (re)writing it. Dynamic overwrite
+    here is keyed on (ingest_id, cell) — NOT ingest_id alone — so a
+    crashed prior writer's cells that the current data does not cover
+    would survive the overwrite and be committed as part of this ingest
+    (r6c review: a retry with a different delta, or an append reusing a
+    crashed compaction's partition id, served never-committed vectors).
+    The target is uncommitted by construction: committed ingests are
+    never rewritten — every writer replays via the snapshot log before
+    reaching a write — so the delete only ever removes orphan debris."""
+    import shutil
+
+    shutil.rmtree(
+        os.path.join(index_path, f"ingest_id={ingest_id}"),
+        ignore_errors=True,
+    )
+
+
 def _write_ingest(assigned: DataFrame, index_path: str, ingest_id: int,
                   run_id: str) -> None:
+    _clear_uncommitted_ingest(index_path, ingest_id)
     (
         assigned.withColumn("ingest_id", F.lit(ingest_id))
         .write.mode("overwrite")
@@ -392,6 +413,15 @@ def compact_ivf_index(
     files_before = count_files(owners)
     rows = read_ivf_index(spark, index_path)
     n_cells = int(ivf_index_meta(index_path)["n_centroids"])
+    if len(owners) == 1 and files_before <= n_cells:
+        # already in the compacted shape (one ingest, ≈one file per cell):
+        # rewriting 1→1 would just append another replace snapshot and
+        # another historical directory per invocation (r6c review: the
+        # CLI's tip-derived run_id cannot replay a rerun AFTER success,
+        # so the noop is what makes repeated --compact-index idempotent)
+        return {"new_ingest": owners[0], "noop": True,
+                "files_before": files_before}
+    _clear_uncommitted_ingest(index_path, new_pid)
     (
         rows.withColumn("ingest_id", F.lit(new_pid))
         .repartition(n_cells, "cell")  # ≈ one file per cell directory

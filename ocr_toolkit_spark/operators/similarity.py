@@ -317,7 +317,7 @@ def embedding_near_dups(
     max_bucket: int = DEFAULT_MAX_BUCKET,
     materialize_frames: bool = True,
     return_bucketed: bool = False,
-) -> DataFrame:
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Embedding-cosine near-duplicate pairs via SRP bucket self-join +
     exact verification (the embedding analog of MinHash-LSH dedup).
     Buckets above `max_bucket` members are star-linked to a representative

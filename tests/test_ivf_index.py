@@ -383,3 +383,62 @@ def test_zero_error_base_treats_any_drift_as_infinite(spark, tmpdir_path):
     drifted = _mk(spark, _clustered(43, 20, start_id=100))
     with pytest.raises(IvfDriftError):
         append_ivf_index(spark, drifted, idx, "d1")
+
+
+def test_crashed_writer_stale_cells_never_leak(spark, tmpdir_path):
+    """r6c: dynamic overwrite here is keyed on (ingest_id, cell), so a
+    crashed writer's cells that a later writer's data does not cover
+    would survive the overwrite and be committed as part of the later
+    ingest — never-committed vectors served in every query. The target
+    ingest dir is cleared before writing; this pins it."""
+    idx = os.path.join(tmpdir_path, "ivf")
+    build_ivf_index(spark, _mk(spark, _clustered(31, 200)), DIM, idx,
+                    "base", n_centroids=N_CLUSTERS)
+
+    # simulate a crashed append: ingest_id=1 fully written across MANY
+    # cells (all 8 clusters), but no snapshot commit
+    from ocr_toolkit_spark.operators.ivf_index import (
+        _assigned, load_quantizer,
+    )
+    ghost = _assigned(
+        _mk(spark, _clustered(32, 80, start_id=9000)),
+        load_quantizer(idx), "vec_id", "embedding",
+    )
+    (
+        ghost.withColumn("ingest_id", F.lit(1))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest_id", "cell")
+        .parquet(idx)
+    )
+    assert os.path.isdir(os.path.join(idx, "ingest_id=1"))
+
+    # a DIFFERENT delta (one vector → one cell) reuses ingest id 1
+    delta = _mk(spark, _clustered(33, 1, start_id=5000))
+    rep = append_ivf_index(spark, delta, idx, "d1")
+    assert rep["ingest_id"] == 1
+
+    # the ghost's vectors are gone — not one leaked through the commit
+    vecs = read_ivf_index(spark, idx)
+    assert vecs.filter(F.col("vec_id") >= 9000).count() == 0
+    assert vecs.count() == 201
+
+
+def test_compact_index_noop_when_already_compact(spark, tmpdir_path):
+    """r6c: compacting an already-compacted index (single ingest, ≤ one
+    file per cell) is a noop — without it every rerun under a fresh
+    run_id appends another replace snapshot and another historical
+    directory."""
+    idx = os.path.join(tmpdir_path, "ivf")
+    build_ivf_index(spark, _mk(spark, _clustered(41, 200)), DIM, idx,
+                    "base", n_centroids=N_CLUSTERS)
+    append_ivf_index(spark, _mk(spark, _clustered(42, 50, start_id=1000)),
+                     idx, "d1")
+    rep = compact_ivf_index(spark, idx, "compact-1")
+    assert rep["ingests_before"] == 2 and "noop" not in rep
+    tip = tio.latest_snapshot_id(idx)
+
+    rep2 = compact_ivf_index(spark, idx, "compact-2")  # fresh run_id
+    assert rep2["noop"] and rep2["new_ingest"] == rep["new_ingest"]
+    assert tio.latest_snapshot_id(idx) == tip
+    assert read_ivf_index(spark, idx).count() == 250

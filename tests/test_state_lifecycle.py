@@ -492,3 +492,125 @@ def test_deowned_dirs_reclaimed_only_after_expiry(tmpdir_path):
     rep = tio.table_report(t)
     assert rep["orphan_partitions"] == []
     assert rep["historical_partitions"] == []
+
+
+def test_gc_resume_after_crash_before_commit(spark, tmpdir_path, monkeypatch):
+    """r6c: a GC that crashes BETWEEN the partition rewrite and the delete
+    commit must resume on retry — returning the PERSISTED repair pairs
+    and landing the commit — not recompute from the half-rewritten state
+    (which would see no tombstoned rows, skip the commit, and return an
+    empty repair, silently losing the severed star links)."""
+    from ocr_toolkit_spark.operators import incremental as inc
+
+    def seed_state(path):
+        r0, f0 = _corpus(91, 30, 10, 8)
+        df0 = spark.createDataFrame(r0, "doc_id int, text string")
+        incremental_dedup_round(spark, df0, df0, path, "r0", **CFG)
+        return r0
+
+    state = os.path.join(tmpdir_path, "sigstate")
+    twin = os.path.join(tmpdir_path, "sigtwin")
+    r0 = seed_state(state)
+    seed_state(twin)
+
+    # tombstone enough low ids that some bucket loses its min-id rep
+    dead = [r0[i][0] for i in range(3)]
+    live_rows = [r for r in r0 if r[0] not in dead]
+    live = spark.createDataFrame(live_rows, "doc_id int, text string")
+    tomb = spark.createDataFrame([(d,) for d in dead], "id int")
+
+    real_commit = tio.snapshot_commit
+
+    def crash_on_delete(path, run_id, pids, operation="append", **kw):
+        if operation == "delete":
+            raise RuntimeError("injected crash before the delete commit")
+        return real_commit(path, run_id, pids, operation=operation, **kw)
+
+    monkeypatch.setattr(inc.tio, "snapshot_commit", crash_on_delete)
+    tip = tio.latest_snapshot_id(state)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        gc_signature_state(spark, tomb, live, state, "gc-crash")
+    # the rewrite already happened, the commit did not
+    assert tio.latest_snapshot_id(state) == tip
+    assert spark.read.parquet(state).filter(
+        F.col("id").isin(dead)).count() == 0
+    monkeypatch.setattr(inc.tio, "snapshot_commit", real_commit)
+
+    # retry resumes from the persisted plan: repair equals an un-crashed
+    # twin's, the delete commit lands, and a further replay is stable
+    repair = gc_signature_state(spark, tomb, live, state, "gc-crash")
+    expected = gc_signature_state(spark, tomb, live, twin, "gc-crash")
+    assert _pairset(repair) == _pairset(expected)
+    assert tio.latest_snapshot_id(state) == tip + 1
+    snap = tio.find_run_snapshot(state, "gc-crash", operation="delete")
+    assert snap is not None
+    again = gc_signature_state(
+        spark, spark.createDataFrame([], "id int"), live, state, "gc-crash")
+    assert _pairset(again) == _pairset(expected)
+    assert tio.latest_snapshot_id(state) == tip + 1
+    # states converge row-for-row
+    assert (read_signature_state(spark, state).count()
+            == read_signature_state(spark, twin).count())
+
+
+def test_gc_refuses_to_empty_the_state(spark, tmpdir_path):
+    """r6c: tombstoning EVERY doc in the state must refuse loudly — the
+    alternative rmtrees all ingest dirs while committing a tip>0 delete
+    snapshot, after which read_signature_state can never infer a schema
+    (the append/merge empty-frame brick mode, via GC)."""
+    state = os.path.join(tmpdir_path, "sigstate")
+    r0, _ = _corpus(95, 12, 4, 4)
+    df0 = spark.createDataFrame(r0, "doc_id int, text string")
+    incremental_dedup_round(spark, df0, df0, state, "r0", **CFG)
+
+    tomb = spark.createDataFrame([(r[0],) for r in r0], "id int")
+    empty_corpus = spark.createDataFrame([], "doc_id int, text string")
+    tip = tio.latest_snapshot_id(state)
+    with pytest.raises(ValueError, match="refusing to empty"):
+        gc_signature_state(spark, tomb, empty_corpus, state, "gc-all")
+    # nothing committed, nothing deleted, state still readable
+    assert tio.latest_snapshot_id(state) == tip
+    assert read_signature_state(spark, state).count() == len(r0) * CFG["bands"]
+
+
+def test_merge_single_owner_noop(spark, tmpdir_path):
+    """r6c: merging an already-merged (single-partition) state is a noop —
+    without it every rerun under a fresh run_id appends another replace
+    snapshot and another historical directory (the CLI's tip-derived
+    run_id can only replay crash retries, not reruns after success)."""
+    from ocr_toolkit_spark.operators.incremental import merge_signature_state
+
+    state = os.path.join(tmpdir_path, "sigstate")
+    r0, f0 = _corpus(97, 20, 6, 6)
+    r1, _ = _corpus(98, 10, 4, 4, start_id=1000, base_pool=f0)
+    df0 = spark.createDataFrame(r0, "doc_id int, text string")
+    u1 = spark.createDataFrame(r0 + r1, "doc_id int, text string")
+    df1 = spark.createDataFrame(r1, "doc_id int, text string")
+    incremental_dedup_round(spark, df0, df0, state, "r0", **CFG)
+    incremental_dedup_round(spark, df1, u1, state, "r1", **CFG)
+
+    rep = merge_signature_state(spark, state, "merge-a")
+    assert rep["ingests_before"] == 2 and "noop" not in rep
+    tip = tio.latest_snapshot_id(state)
+    n = read_signature_state(spark, state).count()
+
+    rep2 = merge_signature_state(spark, state, "merge-b")  # fresh run_id
+    assert rep2 == {"ingests_before": 1,
+                    "new_ingest": rep["new_ingest"], "noop": True}
+    assert tio.latest_snapshot_id(state) == tip
+    assert read_signature_state(spark, state).count() == n
+
+
+def test_sweep_refuses_table_without_snapshot_log(tmpdir_path):
+    """r6c: sweeping a table that has partitions but NO snapshot log must
+    raise — with no ownership map every partition classifies as an
+    orphan and the sweep would delete the whole table (legacy
+    lineage-committed tables, plain partitioned parquet)."""
+    t = os.path.join(tmpdir_path, "legacy")
+    d = os.path.join(t, "partition_id=0")
+    os.makedirs(d)
+    with open(os.path.join(d, "part-0.parquet"), "w") as f:
+        f.write("x")
+    with pytest.raises(ValueError, match="no snapshot log"):
+        tio.sweep_orphan_partitions(t, older_than_s=-5)
+    assert os.path.isdir(d)
