@@ -614,3 +614,146 @@ def test_sweep_refuses_table_without_snapshot_log(tmpdir_path):
     with pytest.raises(ValueError, match="no snapshot log"):
         tio.sweep_orphan_partitions(t, older_than_s=-5)
     assert os.path.isdir(d)
+
+
+def test_maintenance_chaos_crash_injection(spark, tmpdir_path, monkeypatch):
+    """Operator-level chaos soak (r6c): a seeded random interleaving of
+    ingest / compact / merge / GC / sweep where every op's snapshot
+    commit on the chaos state may crash BEFORE or AFTER landing, each
+    crashed op retried once with the SAME run_id. A crash-free twin
+    executes the identical logical sequence; after every op the two
+    states must agree on the op's output pairs and on committed row
+    counts, and a reader between crash and retry must never see the
+    crashed op's uncommitted writes. This composes the per-window crash
+    tests into arbitrary orderings — the shape a 100-TB operator
+    actually faces."""
+    from ocr_toolkit_spark.operators.incremental import merge_signature_state
+
+    state = os.path.join(tmpdir_path, "chaos")
+    twin = os.path.join(tmpdir_path, "twin")
+    rng = random.Random(20260817)
+
+    real_commit = tio.snapshot_commit
+    mode = {"value": None}
+
+    def inject(path, run_id, pids, operation="append", **kw):
+        # only the chaos state is faulted, and only the op's FIRST commit
+        if path != state or mode["value"] is None:
+            return real_commit(path, run_id, pids, operation=operation, **kw)
+        m, mode["value"] = mode["value"], None
+        if m == "before":
+            raise RuntimeError("chaos: crash before commit")
+        snap = real_commit(path, run_id, pids, operation=operation, **kw)
+        raise RuntimeError("chaos: crash after commit")
+
+    monkeypatch.setattr(tio, "snapshot_commit", inject)
+
+    rows_all, dead, pool = [], set(), []
+    acc = {"chaos": set(), "twin": set()}
+    next_id = 0
+
+    def live_rows():
+        return [r for r in rows_all if r[0] not in dead]
+
+    def corpus_df():
+        return spark.createDataFrame(live_rows(), "doc_id int, text string")
+
+    def make_op(kind, i):
+        """Build the op closure; returns (op, rows_in_ingest) or None."""
+        nonlocal next_id
+        rid = f"op{i}-{kind}"
+        if kind == "ingest":
+            rows_new, fresh_texts = _corpus(
+                1000 + i, 8, 3, 3, start_id=next_id, base_pool=pool)
+            next_id += 1000
+            pool.extend(fresh_texts)
+            rows_all.extend(rows_new)
+            df_new = spark.createDataFrame(
+                rows_new, "doc_id int, text string")
+
+            def op(path):
+                return _pairset(incremental_dedup_round(
+                    spark, df_new, corpus_df(), path, rid, **CFG))
+            return op, len(rows_new)
+        if kind == "gc":
+            in_state = sorted(r[0] for r in live_rows())
+            k = min(2, max(0, len(in_state) - 6))
+            victims = rng.sample(in_state, k=k)
+            if not victims:
+                return None
+            dead.update(victims)
+            tomb = spark.createDataFrame([(v,) for v in victims], "id int")
+
+            def op(path):
+                return _pairset(gc_signature_state(
+                    spark, tomb, corpus_df(), path, rid))
+            return op, 0
+        if kind == "compact":
+            def op(path):
+                compact_signature_state(spark, path, rid)
+                return frozenset()
+            return op, 0
+        if kind == "merge":
+            def op(path):
+                merge_signature_state(spark, path, rid)
+                return frozenset()
+            return op, 0
+
+        def op(path):  # sweep — no commit, exercised for isolation only
+            tio.sweep_orphan_partitions(path, older_than_s=-5)
+            return frozenset()
+        return op, 0
+
+    ops = ["ingest"]
+    ops += rng.choices(["ingest", "compact", "merge", "gc", "sweep"],
+                       weights=[5, 2, 2, 3, 2], k=11)
+    crashes = 0
+    for i, kind in enumerate(ops):
+        built = make_op(kind, i)
+        if built is None:
+            continue
+        op, n_ingested = built
+        twin_out = op(twin)  # crash-free reference
+
+        crash = rng.choice([None, "before", "after"])
+        mode["value"] = crash
+        try:
+            chaos_out = op(state)
+            mode["value"] = None
+        except RuntimeError:
+            crashes += 1
+            # isolation: between crash and retry, committed reads see
+            # either the pre-op state ("before") or the op's full result
+            # ("after") — never a partial/uncommitted mix
+            st = read_signature_state(spark, state)
+            tw = read_signature_state(spark, twin)
+            if kind == "ingest":
+                expect = tw.count() - (
+                    n_ingested * CFG["bands"] if crash == "before" else 0)
+                assert (st.count() if st is not None else 0) == expect, (
+                    f"op {i} ({kind}, crash {crash}): uncommitted leak")
+            chaos_out = op(state)  # retry, same run_id
+
+        assert chaos_out == twin_out, f"op {i} ({kind}) diverged"
+        if kind in ("ingest", "gc"):
+            acc["chaos"] |= chaos_out
+            acc["twin"] |= twin_out
+        st = read_signature_state(spark, state)
+        tw = read_signature_state(spark, twin)
+        assert (st is None) == (tw is None)
+        if st is not None:
+            assert st.count() == tw.count(), f"op {i} ({kind}) row drift"
+
+    assert crashes >= 3, f"seed produced only {crashes} crashes — weak run"
+    assert acc["chaos"] == acc["twin"]
+
+    # final leg: expiry + sweep on both — committed rows still agree
+    for path in (state, twin):
+        while tio.latest_snapshot_id(path) < tio.CHECKPOINT_EVERY + 1:
+            tip = tio.latest_snapshot_id(path)
+            keep = max(int(p) for p in tio.partitions_as_of(path, tip))
+            real_commit(path, f"pad-{tip}", [keep])
+        tio.expire_snapshots(path, keep_last=2)
+        tio.sweep_orphan_partitions(path, older_than_s=-5)
+    assert (read_signature_state(spark, state).count()
+            == read_signature_state(spark, twin).count())
