@@ -442,3 +442,85 @@ def test_compact_index_noop_when_already_compact(spark, tmpdir_path):
     assert rep2["noop"] and rep2["new_ingest"] == rep["new_ingest"]
     assert tio.latest_snapshot_id(idx) == tip
     assert read_ivf_index(spark, idx).count() == 250
+
+
+def test_ivf_chaos_crash_injection(spark, tmpdir_path, monkeypatch):
+    """Operator-level chaos soak (r6c), IVF edition: a seeded random
+    interleaving of append / compact / sweep after a (possibly crashing)
+    build, where each op's snapshot commit on the chaos index may crash
+    BEFORE or AFTER landing, retried once with the SAME run_id. A
+    crash-free twin executes the identical sequence; after every op the
+    two indexes must serve identical committed vector sets and identical
+    top-k answers, and no crashed writer's rows may ever leak into a
+    commit (the stale-cell mode)."""
+    import random
+
+    idx = os.path.join(tmpdir_path, "chaos")
+    twin = os.path.join(tmpdir_path, "twin")
+    rng = random.Random(20260818)
+
+    real_commit = tio.snapshot_commit
+    mode = {"value": None}
+
+    def inject(path, run_id, pids, operation="append", **kw):
+        if path != idx or mode["value"] is None:
+            return real_commit(path, run_id, pids, operation=operation, **kw)
+        m, mode["value"] = mode["value"], None
+        if m == "before":
+            raise RuntimeError("chaos: crash before commit")
+        real_commit(path, run_id, pids, operation=operation, **kw)
+        raise RuntimeError("chaos: crash after commit")
+
+    monkeypatch.setattr(tio, "snapshot_commit", inject)
+
+    queries = _mk(spark, _clustered(60, 4, start_id=50000))
+
+    def committed_ids(path):
+        return {r[0] for r in read_ivf_index(spark, path)
+                .select("vec_id").collect()}
+
+    def topk(path):
+        return sorted(map(tuple, ivf_index_topk(
+            spark, queries, path, k=5, n_probe=2).collect()))
+
+    crashes = {"n": 0}
+
+    def run(op):
+        """Run op on twin crash-free, then on chaos with a random fault,
+        retrying once under the same run_id."""
+        op(twin)
+        mode["value"] = rng.choice([None, "before", "after"])
+        try:
+            op(idx)
+            mode["value"] = None
+        except RuntimeError:
+            crashes["n"] += 1
+            # between crash and retry: committed reads never include the
+            # crashed op's uncommitted rows (they may lag the twin)
+            try:
+                assert committed_ids(idx) <= committed_ids(twin)
+            except ValueError:
+                pass  # build crashed before ingest 0's commit: no index yet
+            op(idx)  # retry, same run_id
+        assert committed_ids(idx) == committed_ids(twin)
+        assert topk(idx) == topk(twin)
+
+    base = _mk(spark, _clustered(61, 250))
+    run(lambda p: build_ivf_index(
+        spark, base, DIM, p, "build", n_centroids=N_CLUSTERS))
+
+    start = 1000
+    for i in range(8):
+        kind = rng.choice(["append", "append", "compact", "sweep"])
+        rid = f"op{i}-{kind}"
+        if kind == "append":
+            delta = _mk(spark, _clustered(70 + i, 40, start_id=start))
+            start += 1000
+            run(lambda p, d=delta, r=rid: append_ivf_index(spark, d, p, r))
+        elif kind == "compact":
+            run(lambda p, r=rid: compact_ivf_index(spark, p, r))
+        else:
+            run(lambda p: tio.sweep_orphan_partitions(p, older_than_s=-5))
+
+    assert crashes["n"] >= 3, f"seed produced only {crashes['n']} crashes"
+    assert ivf_index_meta(idx) == ivf_index_meta(twin)
