@@ -1048,6 +1048,77 @@ def q_embedding_near_dups(spark, sf_dir):
     )
 
 
+def q_delta_embedding_dedup(spark, sf_dir):
+    """Incremental (delta) EMBEDDING near-dedup, SELF-VALIDATING — the
+    r6c third delta modality (minhash text and the IVF index being the
+    other two): vectors split 80/20 into a base ingest and a delta
+    ingest over a persisted SRP-bucket state
+    (operators/incremental.py:srp_banded_frame shares the minhash
+    state machinery verbatim); the output carries the equivalence proof
+    itself — pair_sym_diff vs similarity.embedding_near_dups on the
+    union corpus must be 0, and min_sim ≥ the threshold because every
+    emitted pair passed exact-cosine verification."""
+    import shutil
+    import tempfile
+
+    from ocr_toolkit_spark.operators.incremental import (
+        incremental_embedding_round,
+    )
+    from ocr_toolkit_spark.operators.similarity import embedding_near_dups
+
+    e = _t(spark, sf_dir, "embeddings")
+    dim = len(e.select("embedding").first()[0])
+    # the synthetic embeddings hold no natural cosine-0.9 neighbors at
+    # any test SF (the batch entry's slice check was built around that),
+    # so plant deterministic near-dups JVM-side: scaled copies of the
+    # first 40 vectors under fresh ids — cosine(v, 1.5v) = 1.0 exactly,
+    # and the id parity split puts some in the base and some in the
+    # delta, so BOTH rounds' pair sets are non-empty and the sym-diff
+    # check below is non-vacuous
+    planted = e.filter(F.col("vec_id") < 40).select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x * F.lit(1.5)).cast("float")
+        ).alias("embedding"),
+    )
+    e = e.select("vec_id", "embedding").unionByName(planted)
+    base = e.filter(F.col("vec_id") % 10 < 8)
+    delta = e.filter(F.col("vec_id") % 10 >= 8)
+    state = tempfile.mkdtemp(prefix="delta_embed_state_")
+    cfg = dict(dim=dim, threshold=0.9, n_bits=8, seed=42)
+
+    p0 = incremental_embedding_round(spark, base, base, state, "base", **cfg)
+    p1 = incremental_embedding_round(spark, delta, e, state, "delta", **cfg)
+    inc_pairs = p0.unionByName(p1)
+    # rounds materialize their pairs; the returned plan never reads the
+    # state dir — safe to drop the scratch state now (q_delta_dedup
+    # precedent)
+    shutil.rmtree(state, ignore_errors=True)
+
+    full = embedding_near_dups(
+        e, dim=dim, threshold=0.9, n_bits=8, seed=42,
+        id_col="vec_id", vec_col="embedding",
+    )
+    ip = inc_pairs.select("id_a", "id_b").distinct()
+    fp = full.select("id_a", "id_b").distinct()
+    pair_sym = ip.exceptAll(fp).unionAll(fp.exceptAll(ip))
+    return (
+        base.agg(F.count("*").alias("base_vecs"))
+        .crossJoin(delta.agg(F.count("*").alias("delta_vecs")))
+        .crossJoin(ip.agg(F.count("*").alias("inc_pairs")))
+        .crossJoin(fp.agg(F.count("*").alias("full_pairs")))
+        .crossJoin(pair_sym.agg(F.count("*").alias("pair_sym_diff")))
+        .crossJoin(
+            inc_pairs.agg(
+                F.round(F.coalesce(F.min("sim"), F.lit(1.0)), 4).alias(
+                    "min_sim"),
+                (F.coalesce(F.min("sim"), F.lit(1.0)) >= 0.9).alias(
+                    "meets_threshold"),
+            )
+        )
+    )
+
+
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing: binary payloads → Arrow-batched feature stage
     (decode stubbed — no codecs in this container). Oracle-checked (r4
@@ -1191,6 +1262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_pipeline": q_extract_pipeline,
         "minhash_dedup": q_minhash_dedup,
         "delta_dedup": q_delta_dedup,
+        "delta_embedding_dedup": q_delta_embedding_dedup,
         "simhash_dedup": q_simhash_dedup,
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,

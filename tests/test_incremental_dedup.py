@@ -394,3 +394,157 @@ def test_meta_write_is_cross_process_atomic(tmpdir_path):
     assert sorted(rcs) == [0, 42], rcs
     meta = signature_state_meta(os.path.join(tmpdir_path, "sigstate"))
     assert meta is not None and meta["k"] in (3, 5)
+
+
+# --- incremental EMBEDDING near-dedup (r6c) ----------------------------------
+
+EDIM = 16
+ECFG = dict(dim=EDIM, threshold=0.9, n_bits=8, seed=7)
+
+
+def _vectors(seed, n, start_id=0, n_dup=0, dup_pool=None, noise=0.02):
+    """Unit vectors: fresh random ones + near-duplicates of pool vectors
+    (small additive noise keeps cosine ≫ threshold)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    fresh = rng.standard_normal((n, EDIM))
+    fresh /= np.linalg.norm(fresh, axis=1, keepdims=True)
+    rows = [(start_id + i, [float(x) for x in fresh[i]]) for i in range(n)]
+    pool = list(dup_pool or []) + [r[1] for r in rows]
+    nid = start_id + n
+    for j in range(n_dup):
+        src = np.array(pool[int(rng.integers(len(pool)))])
+        v = src + noise * rng.standard_normal(EDIM)
+        v /= np.linalg.norm(v)
+        rows.append((nid, [float(x) for x in v])); nid += 1
+    return rows
+
+
+def _vdf(spark, rows):
+    return spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+
+
+def _vpairs(df):
+    return {(r.id_a, r.id_b) for r in df.select("id_a", "id_b").collect()}
+
+
+def test_embedding_round_zero_equals_batch(spark, tmpdir_path):
+    """Round 0 over an empty state == similarity.embedding_near_dups on
+    the same vectors (single SRP table, same bits/seed/threshold)."""
+    from ocr_toolkit_spark.operators.incremental import (
+        incremental_embedding_round,
+    )
+    from ocr_toolkit_spark.operators.similarity import embedding_near_dups
+
+    rows = _vectors(11, 40, n_dup=12)
+    df = _vdf(spark, rows)
+    state = os.path.join(tmpdir_path, "vstate")
+    p0 = incremental_embedding_round(spark, df, df, state, "r0", **ECFG)
+    batch = embedding_near_dups(
+        df, EDIM, threshold=ECFG["threshold"], n_bits=ECFG["n_bits"],
+        seed=ECFG["seed"],
+    )
+    assert _vpairs(p0) == _vpairs(batch)
+    assert signature_state_meta(state)["kind"] == "srp"
+
+
+def test_embedding_delta_union_equals_full(spark, tmpdir_path):
+    """Three ingest rounds' union == the batch operator on the union
+    corpus; each pair is emitted exactly by the round ingesting its
+    max id; sims are exact cosine (≥ threshold bound holds)."""
+    from ocr_toolkit_spark.operators.incremental import (
+        incremental_embedding_round,
+    )
+    from ocr_toolkit_spark.operators.similarity import embedding_near_dups
+
+    r0 = _vectors(21, 30, n_dup=8)
+    pool0 = [r[1] for r in r0]
+    r1 = _vectors(22, 15, start_id=1000, n_dup=6, dup_pool=pool0)
+    r2 = _vectors(23, 12, start_id=2000, n_dup=5,
+                  dup_pool=pool0 + [r[1] for r in r1])
+    state = os.path.join(tmpdir_path, "vstate")
+
+    d0, d1, d2 = _vdf(spark, r0), _vdf(spark, r1), _vdf(spark, r2)
+    u1, u2 = _vdf(spark, r0 + r1), _vdf(spark, r0 + r1 + r2)
+
+    acc = set()
+    p0 = incremental_embedding_round(spark, d0, d0, state, "r0", **ECFG)
+    p1 = incremental_embedding_round(spark, d1, u1, state, "r1", **ECFG)
+    p2 = incremental_embedding_round(spark, d2, u2, state, "r2", **ECFG)
+    for p, lo in ((p0, 0), (p1, 1000), (p2, 2000)):
+        got = _vpairs(p)
+        acc |= got
+        # every pair touches this round's ingest (max id in range)
+        assert all(max(a, b) >= lo for a, b in got)
+        for r in p.collect():
+            assert r.sim >= ECFG["threshold"]
+
+    batch = embedding_near_dups(
+        u2, EDIM, threshold=ECFG["threshold"], n_bits=ECFG["n_bits"],
+        seed=ECFG["seed"],
+    )
+    assert acc == _vpairs(batch)
+
+    # replay of a committed round appends nothing and returns a subset
+    from ocr_toolkit_spark import io as tio
+
+    tip = tio.latest_snapshot_id(state)
+    p1b = incremental_embedding_round(spark, d1, u1, state, "r1", **ECFG)
+    assert tio.latest_snapshot_id(state) == tip
+    assert _vpairs(p1b) <= acc
+
+
+def test_embedding_state_never_mixes_with_minhash(spark, tmpdir_path):
+    """The `kind` field in the pinned meta keeps an SRP vector state and
+    a minhash text state from silently mixing incomparable signatures."""
+    from ocr_toolkit_spark.operators.incremental import (
+        incremental_embedding_round,
+    )
+
+    rows, _ = _corpus(31, 10, 3, 3)
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    state = os.path.join(tmpdir_path, "state")
+    incremental_dedup_round(spark, docs, docs, state, "r0", **CFG)
+
+    vecs = _vdf(spark, _vectors(32, 10))
+    with pytest.raises(ValueError, match="was built with"):
+        incremental_embedding_round(spark, vecs, vecs, state, "r1", **ECFG)
+
+
+def test_embedding_multi_table_recall_and_state_maintenance(
+        spark, tmpdir_path):
+    """n_tables>1 unions independently-seeded SRP tables (recall ≥ the
+    single-table run on the same data), and the SHARED maintenance ops
+    (compact + merge) run unchanged over the vector state with the next
+    round's pairs unaffected."""
+    from ocr_toolkit_spark.operators.incremental import (
+        compact_signature_state,
+        incremental_embedding_round,
+        merge_signature_state,
+    )
+
+    r0 = _vectors(41, 40, n_dup=10)
+    r1 = _vectors(42, 15, start_id=1000, n_dup=6,
+                  dup_pool=[r[1] for r in r0])
+    d0, d1 = _vdf(spark, r0), _vdf(spark, r1)
+    u1 = _vdf(spark, r0 + r1)
+
+    s1 = os.path.join(tmpdir_path, "v1")  # single table
+    s4 = os.path.join(tmpdir_path, "v4")  # four tables + maintenance
+    p1 = _vpairs(incremental_embedding_round(
+        spark, d0, d0, s1, "r0", **ECFG))
+    p4 = _vpairs(incremental_embedding_round(
+        spark, d0, d0, s4, "r0", n_tables=4, **ECFG))
+    assert p1 <= p4  # extra tables only ADD verified-true pairs
+
+    compact_signature_state(spark, s4, "compact-1")
+    merge_signature_state(spark, s4, "merge-1")
+    twin = os.path.join(tmpdir_path, "v4twin")
+    incremental_embedding_round(spark, d0, d0, twin, "r0",
+                                n_tables=4, **ECFG)
+    q4 = _vpairs(incremental_embedding_round(
+        spark, d1, u1, s4, "r1", n_tables=4, **ECFG))
+    qt = _vpairs(incremental_embedding_round(
+        spark, d1, u1, twin, "r1", n_tables=4, **ECFG))
+    assert q4 == qt  # maintenance between rounds changed nothing
