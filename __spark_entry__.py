@@ -1085,7 +1085,13 @@ def q_delta_embedding_dedup(spark, sf_dir):
     base = e.filter(F.col("vec_id") % 10 < 8)
     delta = e.filter(F.col("vec_id") % 10 >= 8)
     state = tempfile.mkdtemp(prefix="delta_embed_state_")
-    cfg = dict(dim=dim, threshold=0.9, n_bits=8, seed=42)
+    # 14 bits → 16,384 buckets: the sym-diff==0 contract below holds only
+    # while no bucket exceeds skew.DEFAULT_MAX_BUCKET (under capping the
+    # delta and batch paths legitimately diverge — module docstring), and
+    # 8 bits' 256 buckets would cross that at ~65k vectors. 14 bits keeps
+    # mean bucket size ≤ 256 up to ~4M vectors; buckets_capped is emitted
+    # below so a violation is visible instead of a mystery sym-diff.
+    cfg = dict(dim=dim, threshold=0.9, n_bits=14, seed=42)
 
     p0 = incremental_embedding_round(spark, base, base, state, "base", **cfg)
     p1 = incremental_embedding_round(spark, delta, e, state, "delta", **cfg)
@@ -1096,12 +1102,27 @@ def q_delta_embedding_dedup(spark, sf_dir):
     shutil.rmtree(state, ignore_errors=True)
 
     full = embedding_near_dups(
-        e, dim=dim, threshold=0.9, n_bits=8, seed=42,
+        e, dim=dim, threshold=0.9, n_bits=cfg["n_bits"], seed=42,
         id_col="vec_id", vec_col="embedding",
     )
     ip = inc_pairs.select("id_a", "id_b").distinct()
     fp = full.select("id_a", "id_b").distinct()
     pair_sym = ip.exceptAll(fp).unionAll(fp.exceptAll(ip))
+    from ocr_toolkit_spark.operators.incremental import srp_banded_frame
+    from ocr_toolkit_spark.operators.skew import DEFAULT_MAX_BUCKET
+
+    caps = (
+        srp_banded_frame(e, dim, n_bits=cfg["n_bits"], seed=cfg["seed"],
+                         materialize_frame=False)
+        .groupBy("band", "band_hash")
+        .agg(F.count("*").alias("_n"))
+        .agg(
+            F.coalesce(
+                F.sum((F.col("_n") > DEFAULT_MAX_BUCKET).cast("long")),
+                F.lit(0),
+            ).alias("buckets_capped")
+        )
+    )
     return (
         base.agg(F.count("*").alias("base_vecs"))
         .crossJoin(delta.agg(F.count("*").alias("delta_vecs")))
@@ -1116,6 +1137,7 @@ def q_delta_embedding_dedup(spark, sf_dir):
                     "meets_threshold"),
             )
         )
+        .crossJoin(caps)
     )
 
 

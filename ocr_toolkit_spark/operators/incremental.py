@@ -97,11 +97,13 @@ def _check_or_write_meta(state_path: str, cfg: dict) -> None:
             os.unlink(tmp)
         existing = signature_state_meta(state_path)
     if existing != cfg:
+        # wording covers every state kind pinned here (minhash rounds,
+        # SRP embedding rounds) — r6c review: the old message named
+        # MinHash's (k, n_hashes, bands) even when refusing an SRP state
         raise ValueError(
             f"signature state at {state_path} was built with {existing}; "
-            f"this round uses {cfg} — MinHash signatures under different "
-            "(k, n_hashes, bands) are incomparable. Rebuild the state or "
-            "match the config."
+            f"this round uses {cfg} — signatures under different configs "
+            "are incomparable. Rebuild the state or match the config."
         )
 
 
@@ -690,10 +692,11 @@ def gc_signature_state(
     `tombstones` is a one-column DataFrame of deleted ids; `corpus_df`
     is the LIVE corpus (tombstones already removed).
 
-    REPLAY-SAFE (r6b): the repair pairs AND the rewritten partition list
-    are persisted under the state's `_gc/` dir (underscore-prefixed →
-    invisible to Spark's file index, like `_snapshots`) BEFORE any
-    rewrite, and a rerun of a committed run_id returns them from there.
+    REPLAY-SAFE (r6b): the repair pairs, the rewritten partition list
+    AND the tombstone ids are persisted under the state's `_gc/` dir
+    (underscore-prefixed → invisible to Spark's file index, like
+    `_snapshots`) BEFORE any rewrite, and a rerun of a committed run_id
+    returns the pairs from there.
     Without this, a retry after the commit would recompute `removed` as
     EMPTY (the tombstoned rows are already gone) and return zero repair
     pairs — if the caller crashed before persisting the originals, the
@@ -702,10 +705,12 @@ def gc_signature_state(
 
     The same persistence closes the crash window BETWEEN the partition
     rewrite and the delete commit (r6c review): a retry finds the
-    persisted pids + pairs and RESUMES — re-applies the (idempotent)
-    rewrite to exactly those partitions and commits — instead of
-    recomputing from a half-rewritten state, which would see no
-    tombstoned rows, skip the commit, and return an empty repair."""
+    persisted plan and RESUMES — re-applies the (idempotent) rewrite to
+    exactly those partitions WITH THE PERSISTED TOMBSTONES (never the
+    argument: nothing enforces that a retry passes the same batch) and
+    commits — instead of recomputing from a half-rewritten state, which
+    would see no tombstoned rows, skip the commit, and return an empty
+    repair."""
     import hashlib
 
     meta = signature_state_meta(state_path)
@@ -730,11 +735,17 @@ def gc_signature_state(
     if os.path.isfile(pids_file):
         # a prior attempt persisted its plan and crashed before the
         # delete commit — possibly mid-rewrite. Resume it: the repair
-        # pairs and pid list were computed from the PRE-rewrite state
-        # and are the one remaining record of it.
+        # pairs, pid list AND tombstone ids were computed from the
+        # PRE-rewrite state and are the one remaining record of it. The
+        # persisted tombstones are used, NOT the argument (r6c review
+        # #2: nothing enforces that a retry passes the same batch — a
+        # wrong/empty frame would re-apply the rewrite with the wrong
+        # tomb set, leaving ghost bands in not-yet-rewritten partitions
+        # and then committing over them).
         with open(pids_file) as f:
             pids = json.load(f)
         repair = spark.read.parquet(repair_dir)
+        tomb = spark.read.parquet(os.path.join(repair_dir, "_tombstones"))
         _apply_gc_rewrite(spark, state, tomb, state_path, pids)
         tio.snapshot_commit(state_path, run_id, pids, operation="delete")
         return repair
@@ -800,6 +811,13 @@ def gc_signature_state(
         # between this write and the commit; the pids file is written
         # LAST, so its presence implies the repair parquet is complete.
         repair.write.mode("overwrite").parquet(repair_dir)
+        # tombstones ride inside the repair dir (underscore subdir —
+        # invisible to the replay path's spark.read of repair_dir),
+        # parquet so the id type survives; pids_file is written LAST so
+        # its presence implies the whole plan is complete
+        tomb.write.mode("overwrite").parquet(
+            os.path.join(repair_dir, "_tombstones")
+        )
         with open(pids_file, "w") as f:
             json.dump(pids, f)
         _apply_gc_rewrite(spark, state, tomb, state_path, pids)

@@ -419,8 +419,8 @@ def compact_ivf_index(
         # another historical directory per invocation (r6c review: the
         # CLI's tip-derived run_id cannot replay a rerun AFTER success,
         # so the noop is what makes repeated --compact-index idempotent)
-        return {"new_ingest": owners[0], "noop": True,
-                "files_before": files_before}
+        return {"ingests_before": 1, "new_ingest": owners[0],
+                "noop": True, "files_before": files_before}
     _clear_uncommitted_ingest(index_path, new_pid)
     (
         rows.withColumn("ingest_id", F.lit(new_pid))

@@ -536,9 +536,14 @@ def test_gc_resume_after_crash_before_commit(spark, tmpdir_path, monkeypatch):
         F.col("id").isin(dead)).count() == 0
     monkeypatch.setattr(inc.tio, "snapshot_commit", real_commit)
 
-    # retry resumes from the persisted plan: repair equals an un-crashed
-    # twin's, the delete commit lands, and a further replay is stable
-    repair = gc_signature_state(spark, tomb, live, state, "gc-crash")
+    # retry resumes from the persisted plan — adversarially passing a
+    # WRONG (empty) tombstone frame, which the resume must IGNORE in
+    # favor of the persisted tombstones (r6c review: trusting the
+    # argument would re-apply the rewrite with the wrong tomb set and
+    # commit over ghost bands): repair equals an un-crashed twin's, the
+    # delete commit lands, and a further replay is stable
+    wrong_tomb = spark.createDataFrame([], "id int")
+    repair = gc_signature_state(spark, wrong_tomb, live, state, "gc-crash")
     expected = gc_signature_state(spark, tomb, live, twin, "gc-crash")
     assert _pairset(repair) == _pairset(expected)
     assert tio.latest_snapshot_id(state) == tip + 1
