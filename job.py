@@ -106,6 +106,27 @@ def main(argv: list[str] | None = None) -> int:
                         "cost tracks the delta, not the table. Retrying "
                         "the same (FROM, TO] interval is safe: the state "
                         "append is idempotent on the interval")
+    p.add_argument("--dedup-delta-embed", nargs=3,
+                   metavar=("DELTA_PARQUET", "CORPUS_PARQUET",
+                            "STATE_PATH"),
+                   help="incremental EMBEDDING near-dedup round (r6c): "
+                        "SRP-bucket the delta vectors only, find "
+                        "candidates against the persisted bucket state "
+                        "(broadcast semi-join, state never shuffled), "
+                        "exact-cosine-verify against CORPUS_PARQUET (the "
+                        "old+new union; only candidate vectors are read), "
+                        "append this round's buckets to STATE_PATH, print "
+                        "one JSON line with the verified pair count. "
+                        "run_id derives from the delta file set, so "
+                        "retrying the same delta is idempotent. Expects "
+                        "(vec_id, embedding) columns; tune with "
+                        "--embed-threshold/--embed-bits")
+    p.add_argument("--embed-threshold", type=float, default=0.9,
+                   help="cosine threshold for --dedup-delta-embed "
+                        "(default 0.9; pinned in the state meta)")
+    p.add_argument("--embed-bits", type=int, default=12,
+                   help="SRP bits per table for --dedup-delta-embed "
+                        "(default 12; pinned in the state meta)")
     p.add_argument("--state-gc", nargs=3,
                    metavar=("STATE_PATH", "TOMBSTONES_PARQUET",
                             "CORPUS_PARQUET"),
@@ -283,6 +304,52 @@ def main(argv: list[str] | None = None) -> int:
                           "state_commits": tio.latest_snapshot_id(state)}))
         spark.stop()
         return 0
+    if args.dedup_delta_embed:
+        import hashlib
+        import os
+
+        from pyspark.sql import functions as F
+
+        from ocr_toolkit_spark import io as tio
+        from ocr_toolkit_spark.operators.incremental import (
+            incremental_embedding_round,
+        )
+        from ocr_toolkit_spark.session import get_spark
+
+        delta_path, corpus_path, state = args.dedup_delta_embed
+        # deterministic run_id from the delta FILE SET (names + sizes):
+        # a retry of the same delta replays through the state log instead
+        # of doubling the buckets — the --dedup-delta interval discipline,
+        # keyed on what an external vector drop actually has
+        h = hashlib.sha256()
+        for root, _, files in sorted(os.walk(delta_path)) or [
+            (os.path.dirname(delta_path), None, [os.path.basename(delta_path)])
+        ]:
+            for f in sorted(files):
+                fp = os.path.join(root, f)
+                h.update(f"{f}:{os.path.getsize(fp)};".encode())
+        run_id = f"embed-delta-{h.hexdigest()[:16]}"
+
+        spark = get_spark(app_name="ocr-dedup-delta-embed",
+                          master=args.master)
+        delta = spark.read.parquet(delta_path)
+        corpus = spark.read.parquet(corpus_path)
+        dim = len(delta.select("embedding").first()[0])
+        pairs = incremental_embedding_round(
+            spark, delta, corpus, state, run_id, dim=dim,
+            threshold=args.embed_threshold, n_bits=args.embed_bits,
+        )
+        agg = pairs.agg(
+            F.count("*").alias("pairs"),
+            F.round(F.coalesce(F.min("sim"), F.lit(1.0)), 4).alias(
+                "min_sim"),
+        ).collect()[0]
+        print(json.dumps({"run_id": run_id,
+                          "pairs": agg["pairs"],
+                          "min_sim": agg["min_sim"],
+                          "state_commits": tio.latest_snapshot_id(state)}))
+        spark.stop()
+        return 0
     if args.state_gc:
         from pyspark.sql import functions as F
 
@@ -342,7 +409,8 @@ def main(argv: list[str] | None = None) -> int:
                 "(unless using --list-formats, --list-snapshots, "
                 "--expire-snapshots, --compact, --compact-index, "
                 "--merge-state, --sweep-orphans, --read-changes, "
-                "--dedup-delta, --state-gc or --table-report)")
+                "--dedup-delta, --dedup-delta-embed, --state-gc or "
+                "--table-report)")
 
     from ocr_toolkit_spark.pipeline import extraction_stats, run_extraction
     from ocr_toolkit_spark.session import get_spark
