@@ -434,24 +434,28 @@ def cosine_verify(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    materialize_frames: bool = True,
 ) -> DataFrame:
     """Exact-cosine verification of candidate pairs — the embedding
     jaccard_verify: the vector table is semi-joined down to candidate ids
     first (only candidate embeddings are ever read), then one JVM-side
-    cosine per pair. Returns (id_a, id_b, sim) with sim ≥ threshold."""
+    cosine per pair. Returns (id_a, id_b, sim) with sim ≥ threshold.
+    `materialize_frames=False` keeps construction lazy (plan inspection —
+    the jaccard_verify precedent)."""
     from .similarity import cosine
 
-    candidates = materialize(candidates)
+    if materialize_frames:
+        candidates = materialize(candidates)
     cand_ids = (
         candidates.select(F.col("id_a").alias("cid"))
         .unionByName(candidates.select(F.col("id_b").alias("cid")))
         .distinct()
     )
-    v = materialize(
-        vectors.select(
-            F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
-        ).join(cand_ids, F.col("id") == F.col("cid"), "left_semi")
-    )
+    v = vectors.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    ).join(cand_ids, F.col("id") == F.col("cid"), "left_semi")
+    if materialize_frames:
+        v = materialize(v)
     return (
         candidates.join(
             v.select(F.col("id").alias("id_a"), F.col("vec").alias("_va")),

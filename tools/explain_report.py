@@ -170,6 +170,46 @@ def main() -> int:
         plan_of(cand),
     ))
 
+    # embedding delta-dedup verify: same state discipline over vectors,
+    # plus the corpus must be SEMI-JOINED to candidate ids before any
+    # vector is read for cosine
+    from ocr_toolkit_spark.operators.incremental import (
+        cosine_verify,
+        srp_banded_frame,
+    )
+
+    from pyspark.sql import functions as F
+
+    vstate_dir = os.path.join(d, "vecstate")
+    vecs0 = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding")
+    vdim = len(vecs0.select("embedding").first()[0])
+    append_signatures(
+        srp_banded_frame(vecs0, vdim, n_bits=12, materialize_frame=False),
+        vstate_dir, "plan-v0")
+    vnew = vecs0.filter("vec_id < 5").select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
+    vcand = delta_candidate_pairs(
+        srp_banded_frame(vnew, vdim, n_bits=12, materialize_frame=False),
+        read_signature_state(spark, vstate_dir),
+        materialize_frames=False)
+    vpairs = cosine_verify(vcand, vecs0.unionByName(vnew), 0.9,
+                           materialize_frames=False)
+    sections.append((
+        "Incremental embedding-dedup verify",
+        "the r6c embedding delta path reuses the minhash state shape "
+        "(band = SRP table index), so the candidates plan above applies "
+        "verbatim; what is new is verification — the vector table is "
+        "reduced to candidate ids by a LEFT-SEMI join BEFORE any "
+        "embedding is read (the jaccard_verify discipline), then one "
+        "JVM-side cosine per pair. The only Python in the whole plan is "
+        "the Arrow-batched SRP bucketing (ArrowEvalPython), and it "
+        "touches the DELTA side only — verification itself is pure JVM "
+        "column algebra. (Lazy plan for structure inspection; the "
+        "production path materializes the banded/candidate frames.)",
+        plan_of(vpairs),
+    ))
+
     # IVF index probe: the probed-cell filter must land on the PHYSICAL
     # `cell` partition column so unprobed cells are pruned at
     # file-listing time (PartitionFilters on the scan, nothing read)
