@@ -548,3 +548,42 @@ def test_embedding_multi_table_recall_and_state_maintenance(
     qt = _vpairs(incremental_embedding_round(
         spark, d1, u1, twin, "r1", n_tables=4, **ECFG))
     assert q4 == qt  # maintenance between rounds changed nothing
+
+
+def test_embedding_random_split_fuzz(spark, tmpdir_path):
+    """Equivalence under ARBITRARY ingest orders, not just the fixture
+    splits: three seeded random partitions of one vector corpus, each
+    ingested round-by-round in a random order; every schedule's pair
+    union must equal the single batch run."""
+    import random as _random
+
+    from ocr_toolkit_spark.operators.incremental import (
+        incremental_embedding_round,
+    )
+    from ocr_toolkit_spark.operators.similarity import embedding_near_dups
+
+    rows = _vectors(71, 50, n_dup=15)
+    all_df = _vdf(spark, rows)
+    batch = _vpairs(embedding_near_dups(
+        all_df, EDIM, threshold=ECFG["threshold"], n_bits=ECFG["n_bits"],
+        seed=ECFG["seed"]))
+
+    for trial in range(3):
+        rng = _random.Random(100 + trial)
+        ids = [r[0] for r in rows]
+        rng.shuffle(ids)
+        k = rng.randint(2, 4)
+        cuts = sorted(rng.sample(range(1, len(ids)), k - 1))
+        groups = [set(ids[a:b]) for a, b in
+                  zip([0] + cuts, cuts + [len(ids)])]
+        state = os.path.join(tmpdir_path, f"fuzz{trial}")
+        seen, acc = set(), set()
+        for i, g in enumerate(groups):
+            seen |= g
+            new = _vdf(spark, [r for r in rows if r[0] in g])
+            corpus = _vdf(spark, [r for r in rows if r[0] in seen])
+            acc |= _vpairs(incremental_embedding_round(
+                spark, new, corpus, state, f"r{i}", **ECFG))
+        # pairs are emitted as (min, max) by id; the batch set is the
+        # same normalization, so plain set equality applies
+        assert acc == batch, f"trial {trial} (k={k}) diverged"
