@@ -160,12 +160,17 @@ def partitions_as_of(table_path: str, snapshot_id: int) -> dict[str, str]:
     except FileNotFoundError:
         raise ValueError(f"no snapshot {snapshot_id} under {table_path}")
     # checkpoint files (and legacy cumulative-format files) carry the full
-    # map; snapshot 1's delta IS the full map. Membership test, not
-    # truthiness: a legacy base with an EMPTY partitions map must fold to
-    # {}, not KeyError on the absent delta (r4 review #4)
-    parts = dict(
-        base["partitions"] if "partitions" in base else base["delta"]
-    )
+    # map; snapshot 1's delta folds into an empty map. Membership test,
+    # not truthiness: a legacy base with an EMPTY partitions map must fold
+    # to {}, not KeyError on the absent delta (r4 review #4). FOLD the
+    # delta case rather than dict() it (r6c review: a None-valued de-own
+    # entry in snapshot 1 would otherwise leak through as an owned
+    # partition and into checkpoint embeds).
+    if "partitions" in base:
+        parts = dict(base["partitions"])
+    else:
+        parts = {}
+        _fold_delta(parts, base["delta"])
     for sid in range(start + 1, snapshot_id + 1):
         try:
             rec = _read_snap(d, sid)
@@ -211,7 +216,9 @@ def snapshots(table_path: str) -> list[dict]:
             if "partitions" in rec:
                 parts = dict(rec["partitions"])
             elif sid == 1:
-                parts = dict(rec["delta"])
+                parts = {}
+                _fold_delta(parts, rec["delta"])  # never dict(): de-own
+                # entries in snapshot 1 must fold away (r6c review)
             else:
                 raise ValueError(
                     f"snapshot log under {table_path} starts at "
@@ -239,9 +246,41 @@ def retained_partitions(table_path: str) -> set[str]:
     split, at partition granularity. One O(retained-log) driver-side
     pass; maintenance-only (reads stay on latest_snapshot_id +
     partitions_as_of)."""
+    d = _snapshot_dir(table_path)
+    ids = _snapshot_ids(table_path)
+    if not ids:
+        return set()
+    # one raw pass, no per-record cumulative-map copies (r6c review:
+    # snapshots() deep-copies the folded map into EVERY record — O(log ×
+    # partitions) dict churn this union never needed). The union over
+    # retained snapshots = the first retained record's full key set plus
+    # every CLAIM key in later deltas: a de-own never shrinks it (the
+    # earlier retained snapshot still references the id), an upsert only
+    # adds.
     seen: set[str] = set()
-    for rec in snapshots(table_path):
-        seen.update(rec["partitions"])
+    for n, sid in enumerate(range(ids[0], ids[-1] + 1)):
+        try:
+            rec = _read_snap(d, sid)
+        except FileNotFoundError:
+            raise ValueError(
+                f"snapshot log under {table_path} has a hole at {sid}"
+            )
+        if n == 0:
+            if "partitions" in rec:
+                seen.update(rec["partitions"])
+            elif sid == 1:
+                seen.update(
+                    p for p, r in rec["delta"].items() if r is not None
+                )
+            else:
+                raise ValueError(
+                    f"snapshot log under {table_path} starts at "
+                    f"non-checkpoint {sid} after expiry"
+                )
+        elif "delta" in rec:
+            seen.update(p for p, r in rec["delta"].items() if r is not None)
+        else:  # legacy cumulative-only record
+            seen.update(rec["partitions"])
     return seen
 
 
@@ -266,9 +305,14 @@ def find_run_snapshot(
     exceeds the retry horizon — replaying a round whose snapshot has
     been EXPIRED re-executes it (documented at append_signatures and
     pinned by test_expiry_window_and_boundary)."""
-    if latest_snapshot_id(table_path) == 0:
-        return None
-    for rec in snapshots(table_path):
+    d = _snapshot_dir(table_path)
+    # raw newest-first scan (r6c review: this runs at the START of every
+    # append/merge/GC round, and routing it through snapshots() paid a
+    # deep copy of the cumulative partition map into every record for a
+    # lookup that only reads run_id/operation/delta). run_ids commit at
+    # most once (that is what this gate enforces), so first match wins.
+    for sid in reversed(_snapshot_ids(table_path)):
+        rec = _read_snap(d, sid)
         if rec["run_id"] != run_id:
             continue
         if rec.get("operation", "append") != operation:

@@ -93,21 +93,44 @@ def reconcile_committed(
     committed (its data write necessarily completed).
 
     Returns (committed_pids, orphans) where orphans maps snapshot-owned
-    partitions missing from lineage to their owning run_id, so the caller
-    can heal the lineage manifest. Both sets are ≤ n_buckets entries —
-    driver-side by design."""
+    partitions missing from lineage to the run_id of the APPEND snapshot
+    that actually committed their rows (r6c review: the tip owner can be
+    a later maintenance re-claim — e.g. compaction's "replace" — and
+    healing lineage with that run_id would misrecord provenance). Both
+    sets are ≤ n_buckets entries — driver-side by design.
+
+    The must-not-rewrite boundary is RETAINED history, not the tip map
+    (r6c review, the sweep_orphan_partitions doctrine): a partition
+    de-owned at the tip but still referenced by an older retained
+    snapshot must not be re-processed — dynamic overwrite would replace
+    its files and silently change what that snapshot's time-travel read
+    returns. No current operator de-owns extraction partitions, but the
+    log supports it generically and resume must not re-open the hole."""
     lineage_pids: set[int] = set()
     done = committed_partitions(spark, lineage_path)
     if done is not None:
         lineage_pids = {int(r["partition_id"]) for r in done.collect()}
     tip = tio.latest_snapshot_id(output_path)
-    snap_owner = (
-        {int(p): r for p, r in tio.partitions_as_of(output_path, tip).items()}
-        if tip
-        else {}
-    )
-    orphans = {p: r for p, r in snap_owner.items() if p not in lineage_pids}
-    return lineage_pids | set(snap_owner), orphans
+    if not tip:
+        return lineage_pids, {}
+    snap_owner = {
+        int(p): r for p, r in tio.partitions_as_of(output_path, tip).items()
+    }
+    retained = {int(p) for p in tio.retained_partitions(output_path)}
+    # provenance for healing: the LAST append-operation claim per pid
+    appenders: dict[int, str] = {}
+    for rec in tio.snapshots(output_path):
+        if rec.get("operation", "append") != "append" or not rec.get("delta"):
+            continue
+        for p, r in rec["delta"].items():
+            if r is not None:
+                appenders[int(p)] = r
+    orphans = {
+        p: appenders.get(p, r)
+        for p, r in snap_owner.items()
+        if p not in lineage_pids
+    }
+    return lineage_pids | set(snap_owner) | retained, orphans
 
 
 def salt_oversized(

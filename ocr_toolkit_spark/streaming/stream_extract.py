@@ -83,13 +83,27 @@ def stream_extract_committed(
       one file per task instead of one per (task, bucket) — fewer, larger
       files;
     - the snapshot log claims the batch id under THIS STREAM's identity
-      (derived from the checkpoint location, the Spark analog of
-      Iceberg's (queryId, epochId) replay key): a replayed batch whose
-      snapshot already exists with the same identity is skipped (crash
-      was after the commit, before the checkpoint advance), while a
-      batch id owned by a DIFFERENT identity raises — a fresh checkpoint
-      pointed at an existing table must fail loudly, not silently skip
-      or clobber committed batches.
+      — the checkpoint's QUERY ID (Spark persists it in
+      `<checkpoint>/metadata`; it survives restarts of the same
+      checkpoint and is REGENERATED when the checkpoint dir is wiped and
+      recreated) — the Iceberg (queryId, epochId) replay key. A replayed
+      batch whose snapshot already exists with the same identity is
+      skipped (crash was after the commit, before the checkpoint
+      advance; the check reads the log's retained HISTORY via
+      io.find_run_snapshot, so a later maintenance re-claim such as
+      compaction's "replace" cannot make a legitimate replay look
+      foreign and wedge the stream — r6c review). A batch id owned by a
+      DIFFERENT identity raises: a fresh checkpoint pointed at an
+      existing table must fail loudly, not silently skip or clobber
+      committed batches — and deriving identity from the query id (not
+      the checkpoint PATH, the pre-r6c bug) means a wiped-and-recreated
+      checkpoint at the SAME path also fails loudly instead of silently
+      dropping every batch id that collides with old history.
+
+    - EMPTY micro-batches commit nothing (r6c review): claiming a batch
+      id whose dynamic overwrite wrote zero files would leave a tip>0
+      table with no parquet underneath — unreadable until the next
+      non-empty batch (the brick mode append_signatures refuses).
 
     Readers: `io.read_extracted_as_of(spark, out, N,
     partition_col="batch_id")` pins the first N committed batches;
@@ -111,14 +125,24 @@ def stream_extract_committed(
     growth the flat layout exists to avoid — so it is for extreme-
     redundancy corpora only."""
     import hashlib
+    import json as _json
     import os
 
     from .. import io as tio
     from ..pipeline import with_partition_id
 
-    stream_id = hashlib.sha256(
-        os.path.abspath(checkpoint_dir).encode()
-    ).hexdigest()[:12]
+    def stream_identity() -> str:
+        """The checkpoint's query id (stable across restarts, regenerated
+        when the checkpoint is wiped). Spark writes `<ckpt>/metadata`
+        at query start, so it exists by the first foreachBatch call."""
+        try:
+            with open(os.path.join(checkpoint_dir, "metadata")) as f:
+                qid = _json.load(f)["id"]
+        except (OSError, KeyError, ValueError):
+            # unreachable in practice; fall back to the path so the
+            # foreign-owner check still fires rather than crashing here
+            qid = os.path.abspath(checkpoint_dir)
+        return hashlib.sha256(qid.encode()).hexdigest()[:12]
 
     extracted = extract_spans(
         read_documents_stream(spark, input_dir, max_files_per_trigger),
@@ -127,13 +151,18 @@ def stream_extract_committed(
 
     def commit_batch(df: DataFrame, batch_id: int) -> None:
         b = int(batch_id)
-        run_id = f"stream-{stream_id}-batch-{b}"
+        run_id = f"stream-{stream_identity()}-batch-{b}"
+        if df.isEmpty():
+            return  # never claim a batch id with zero files under it
+        # replay check against retained HISTORY, not the tip owner: a
+        # maintenance re-claim (compaction "replace") must not make a
+        # legitimate crash-window replay look foreign (r6c review)
+        if tio.find_run_snapshot(output_dir, run_id):
+            return  # replayed batch, already durable in data AND log
         tip = tio.latest_snapshot_id(output_dir)
         owner = (
             tio.partitions_as_of(output_dir, tip).get(str(b)) if tip else None
         )
-        if owner == run_id:
-            return  # replayed batch, already durable in data AND log
         if owner is not None:
             raise RuntimeError(
                 f"batch id {b} of {output_dir} is already committed by "

@@ -733,3 +733,72 @@ def test_snapshot_removals_fold_and_checkpoint(tmpdir_path):
 
     with pytest.raises(ValueError, match="both claimed and removed"):
         tio.snapshot_commit(path, "bad", [7], remove_partition_ids=[7])
+
+
+def test_resume_boundary_and_heal_provenance_r6c(spark, tmpdir_path):
+    """r6c review fixes on reconcile_committed, pinned:
+    (1) orphan lineage healing attributes the APPEND run that committed
+    the rows, not a later maintenance re-claim's run_id (compaction's
+    'replace' owns every partition at the tip);
+    (2) the must-not-rewrite boundary is RETAINED history — a partition
+    de-owned at the tip but referenced by older retained snapshots is
+    treated as committed, never re-processed (its files back time-travel
+    reads);
+    (3) a snapshot-1 delta with a de-own entry folds away instead of
+    leaking a None-valued owner."""
+    from ocr_toolkit_spark.pipeline import reconcile_committed
+
+    corpus = os.path.join(tmpdir_path, "docs.parquet")
+    out = os.path.join(tmpdir_path, "out")
+    lineage = os.path.join(tmpdir_path, "lineage")
+    write_corpus(corpus, n_docs=200, seed=42)
+
+    # crashed run: partitions 0..15 written + snapshot, no lineage
+    docs = with_partition_id(tio.read_documents(spark, corpus), 64)
+    from ocr_toolkit_spark.operators.extract import extract_spans
+
+    partial = docs.filter(F.col("partition_id") < 16)
+    partial_out = with_partition_id(
+        extract_spans(partial.select("doc_id", "spans")), 64)
+    tio.write_extracted(partial_out, out)
+    crashed_pids = sorted(
+        int(r["partition_id"])
+        for r in partial_out.select("partition_id").distinct().collect())
+    tio.snapshot_commit(out, "crashed-run", crashed_pids)
+
+    # (1) a compaction lands BEFORE the resume: the tip owner of every
+    # partition is now 'compact-x', but healing must attribute the
+    # crashed APPEND run
+    tio.compact_extracted(spark, out, "compact-x")
+    run_extraction(spark, corpus, out, lineage, run_id="recovery")
+    healed = tio.read_lineage(spark, lineage).filter(
+        "run_id = 'crashed-run'").collect()
+    assert sorted(int(r["partition_id"]) for r in healed) == crashed_pids
+    assert tio.read_lineage(spark, lineage).filter(
+        "run_id = 'compact-x'").count() == 0
+
+    # (2) de-own one partition at the tip while older snapshots retain
+    # it: reconcile must still count it committed (no rewrite)
+    victim = crashed_pids[0]
+    keep = [p for p in crashed_pids if p != victim][0]
+    tio.snapshot_commit(out, "maint", [keep], operation="replace",
+                        remove_partition_ids=[victim])
+    committed, orphans = reconcile_committed(spark, lineage, out)
+    assert victim in committed
+    assert victim not in orphans
+    owners_now = tio.partitions_as_of(out, tio.latest_snapshot_id(out))
+    assert str(victim) not in owners_now  # de-owned at tip...
+    assert str(victim) in tio.retained_partitions(out)  # ...but retained
+    stats = run_extraction(spark, corpus, out, lineage, run_id="again")
+    assert stats.partitions_processed == 0  # nothing rewritten
+
+    # (3) snapshot-1 de-own entries fold away at every read site
+    t2 = os.path.join(tmpdir_path, "t2")
+    os.makedirs(os.path.join(t2, "partition_id=0"))
+    with open(os.path.join(t2, "partition_id=0", "p.parquet"), "w") as f:
+        f.write("x")
+    tio.snapshot_commit(t2, "r0", [0], remove_partition_ids=[9])
+    owners = tio.partitions_as_of(t2, 1)
+    assert owners == {"0": "r0"}  # no None-valued ghost for 9
+    assert tio.retained_partitions(t2) == {"0"}
+    assert tio.snapshots(t2)[0]["partitions"] == {"0": "r0"}

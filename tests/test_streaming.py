@@ -409,3 +409,92 @@ def test_streaming_session_windows(spark, tmpdir_path):
     # reopen, no duplicate; 13:30 closes the 12:00 session
     write("s3.parquet", [ev(5, 10, 5), ev(6, 13, 30)])
     assert drain() == [(1, 10, 0, 10, 50, 3), (1, 12, 0, 12, 30, 1)]
+
+
+def test_committed_sink_r6c_guards(spark, tmpdir_path):
+    """r6c review fixes, pinned: (1) a wiped-and-recreated checkpoint at
+    the SAME path fails loudly on the colliding batch id instead of
+    silently skipping it (identity = checkpoint QUERY id, not path);
+    (2) a replay after table compaction is recognized through log
+    HISTORY (the tip owner is compaction's re-claim) — equivalently, a
+    manually planted snapshot under this stream's identity makes the
+    batch skip, not error; (3) an empty micro-batch commits no snapshot,
+    so the table never has a tip with zero files."""
+    import json
+
+    import pyarrow as pa
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+    from pyspark.sql import functions as F
+
+    from ocr_toolkit_spark import io as tio
+    from ocr_toolkit_spark.streaming.stream_extract import (
+        stream_extract_committed,
+    )
+
+    docs = generate_documents(60, 7)
+    in_dir = os.path.join(tmpdir_path, "in")
+    os.makedirs(in_dir)
+    pq.write_table(to_arrow(docs), os.path.join(in_dir, "a.parquet"))
+    out = os.path.join(tmpdir_path, "out")
+    ckpt = os.path.join(tmpdir_path, "ckpt")
+    q = stream_extract_committed(spark, in_dir, out, ckpt)
+    q.awaitTermination(600)
+    assert tio.latest_snapshot_id(out) == 1
+    n0 = spark.read.parquet(out).count()
+
+    # (3) an EMPTY new input file → batch drains, nothing committed,
+    # table still readable with the same rows
+    empty = to_arrow(docs[:1]).slice(0, 0)
+    assert isinstance(empty, pa.Table) and empty.num_rows == 0
+    pq.write_table(empty, os.path.join(in_dir, "empty.parquet"))
+    q2 = stream_extract_committed(spark, in_dir, out, ckpt)
+    q2.awaitTermination(600)
+    assert tio.latest_snapshot_id(out) == 1
+    assert spark.read.parquet(out).count() == n0
+
+    # (2) replay-through-history: compact the table (re-claims batch 0
+    # under a "replace" run), then plant batch 1's snapshot under THIS
+    # stream's identity — the restarted stream must SKIP it (crash was
+    # after the commit), never error on the foreign tip owner and never
+    # double-commit
+    import hashlib
+
+    tio.compact_extracted(spark, out, "compact-x", partition_col="batch_id")
+    with open(os.path.join(ckpt, "metadata")) as f:
+        qid = json.load(f)["id"]
+    sid = hashlib.sha256(qid.encode()).hexdigest()[:12]
+    # the next batch id comes from the CHECKPOINT's offsets log, not the
+    # table: the skipped empty batch consumed an id without committing
+    nxt = 1 + max(
+        int(n) for n in os.listdir(os.path.join(ckpt, "offsets"))
+        if n.isdigit()
+    )
+    # the plant needs the batch's data on disk too (commit follows write)
+    spark.read.parquet(out).limit(3).withColumn(
+        "batch_id", F.lit(nxt)
+    ).write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("batch_id").parquet(out)
+    tio.snapshot_commit(out, f"stream-{sid}-batch-{nxt}", [nxt])
+    tip_before = tio.latest_snapshot_id(out)
+    rows_before = spark.read.parquet(out).count()
+    extra = [(f"x-{i}", [{"kind": "text", "text": f"d {i}",
+                          "media_ref": "", "offset": 0}]) for i in range(4)]
+    pq.write_table(to_arrow(extra), os.path.join(in_dir, "b.parquet"))
+    q3 = stream_extract_committed(spark, in_dir, out, ckpt)
+    q3.awaitTermination(600)  # batch 1 replays → skip, no error
+    assert tio.latest_snapshot_id(out) == tip_before
+    assert spark.read.parquet(out).count() == rows_before
+
+    # (1) wiped-and-recreated checkpoint, same path: batch ids restart at
+    # 0, which old history owns under the OLD query id → loud failure,
+    # nothing skipped or clobbered
+    import shutil
+
+    shutil.rmtree(ckpt)
+    pq.write_table(to_arrow(docs), os.path.join(in_dir, "c.parquet"))
+    q4 = stream_extract_committed(spark, in_dir, out, ckpt)
+    with pytest.raises(StreamingQueryException, match="already committed"):
+        q4.awaitTermination(600)
+    assert tio.latest_snapshot_id(out) == tip_before
