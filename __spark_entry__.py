@@ -134,7 +134,7 @@ def q_stats_by_lang(spark, sf_dir):
     return d.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
-        F.round(F.sum("n_chars") / F.count("*"), 4).alias("avg_chars"),
+        _r4(F.sum("n_chars") / F.count("*")).alias("avg_chars"),
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
     )
@@ -149,11 +149,11 @@ def q_quality_scores(spark, sf_dir):
     d = with_quality(_docs(spark, sf_dir), "text", include_repeat_penalty=False)
     return d.select(
         "doc_id",
-        F.round("length_score", 4).alias("length_score"),
-        F.round("structure_score", 4).alias("structure_score"),
-        F.round("diversity_score", 4).alias("diversity_score"),
-        F.round("error_penalty", 4).alias("error_penalty"),
-        F.round("total_score", 4).alias("total_score"),
+        _r4(F.col("length_score")).alias("length_score"),
+        _r4(F.col("structure_score")).alias("structure_score"),
+        _r4(F.col("diversity_score")).alias("diversity_score"),
+        _r4(F.col("error_penalty")).alias("error_penalty"),
+        _r4(F.col("total_score")).alias("total_score"),
     )
 
 
@@ -244,13 +244,13 @@ def q_stopword_quality(spark, sf_dir):
     from ocr_toolkit_spark.operators.textstats import stopword_ratio
 
     d = _docs(spark, sf_dir)
-    r = F.round(stopword_ratio(F.col("text")), 4)
+    r = _r4(stopword_ratio(F.col("text")))
     return (
         d.select("lang", r.alias("sw"))
         .groupBy("lang")
         .agg(
             F.count("*").alias("n_docs"),
-            F.round(F.avg("sw"), 4).alias("avg_stopword_ratio"),
+            _r4(F.avg("sw")).alias("avg_stopword_ratio"),
             F.sum((F.col("sw") >= 0.15).cast("long")).alias("prose_docs"),
         )
     )
@@ -335,7 +335,7 @@ def q_token_stats(spark, sf_dir):
     d = _docs(spark, sf_dir).withColumn("tokens", token_count(F.col("text")))
     return d.groupBy("lang").agg(
         F.sum("tokens").alias("total_tokens"),
-        F.round(F.sum("tokens") / F.count("*"), 4).alias("avg_tokens"),
+        _r4(F.sum("tokens") / F.count("*")).alias("avg_tokens"),
     )
 
 
@@ -347,7 +347,7 @@ def q_bpe_tokens(spark, sf_dir):
     d = _docs(spark, sf_dir).withColumn("bpe", bpe_pretoken_count(F.col("text")))
     return d.groupBy("source").agg(
         F.sum("bpe").alias("total_pretokens"),
-        F.round(F.sum("bpe") / F.count("*"), 4).alias("avg_pretokens"),
+        _r4(F.sum("bpe") / F.count("*")).alias("avg_pretokens"),
     )
 
 
@@ -601,7 +601,7 @@ def q_date_trunc(spark, sf_dir):
         F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
     ).agg(
         F.count("*").alias("n_events"),
-        F.round(F.sum("value"), 4).alias("total_value"),
+        _r4(F.sum("value")).alias("total_value"),
     )
 
 
@@ -610,6 +610,11 @@ def _r4(c):
     used by every oracle-hashed value (round()/printf disagree across
     engines at .x5 halves on binary doubles)."""
     return F.floor(c * 10000 + F.lit(0.5)) / 10000.0
+
+
+def _r6(c):
+    """Fixed-point HALF_UP to 6 decimals (see _r4)."""
+    return F.floor(c * 1000000 + F.lit(0.5)) / 1000000.0
 
 
 def q_percentiles(spark, sf_dir):
@@ -681,11 +686,11 @@ def q_window_rank(spark, sf_dir):
         "o_custkey",
         F.rank().over(w).alias("rnk"),
         F.dense_rank().over(w).alias("drnk"),
-        F.round(F.percent_rank().over(w), 6).alias("prnk"),
-        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        _r6(F.percent_rank().over(w)).alias("prnk"),
+        _r6(F.cume_dist().over(w)).alias("cdist"),
         F.ntile(4).over(w).alias("quartile"),
-        F.round(F.lead("o_totalprice").over(w), 4).alias("next_price"),
-        F.round(F.lag("o_totalprice").over(w), 4).alias("prev_price"),
+        _r4(F.lead("o_totalprice").over(w)).alias("next_price"),
+        _r4(F.lag("o_totalprice").over(w)).alias("prev_price"),
     )
 
 
@@ -716,7 +721,7 @@ def q_json_extract(spark, sf_dir):
     k = F.get_json_object("props", "$.k").cast("int")
     return ev.groupBy((k % 10).alias("k_bucket")).agg(
         F.count("*").alias("n_events"),
-        F.round(F.avg("value"), 4).alias("avg_value"),
+        _r4(F.avg("value")).alias("avg_value"),
     )
 
 
@@ -733,7 +738,7 @@ def q_window_running(spark, sf_dir):
     return ev.select(
         "user_id",
         "event_id",
-        F.round(F.sum("value").over(w), 4).alias("running_value"),
+        _r4(F.sum("value").over(w)).alias("running_value"),
     )
 
 
@@ -1332,11 +1337,11 @@ m AS (
       END AS error_penalty
   FROM t)
 SELECT doc_id,
-  CAST(round(length_score,4) AS DOUBLE) AS length_score,
-  CAST(round(structure_score,4) AS DOUBLE) AS structure_score,
-  CAST(round(diversity_score,4) AS DOUBLE) AS diversity_score,
-  CAST(round(error_penalty,4) AS DOUBLE) AS error_penalty,
-  CAST(round((length_score*0.3 + structure_score*0.4 + diversity_score*0.3)*error_penalty, 4) AS DOUBLE) AS total_score
+  CAST(floor(length_score*10000 + 0.5)/10000.0 AS DOUBLE) AS length_score,
+  CAST(floor(structure_score*10000 + 0.5)/10000.0 AS DOUBLE) AS structure_score,
+  CAST(floor(diversity_score*10000 + 0.5)/10000.0 AS DOUBLE) AS diversity_score,
+  CAST(floor(error_penalty*10000 + 0.5)/10000.0 AS DOUBLE) AS error_penalty,
+  CAST(floor(((length_score*0.3 + structure_score*0.4 + diversity_score*0.3)*error_penalty)*10000 + 0.5)/10000.0 AS DOUBLE) AS total_score
 FROM m
 """
 
@@ -1346,11 +1351,11 @@ WITH e AS (
   FROM embeddings),
 scored AS (
   SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
-    round(
+    floor((
       list_reduce(list_prepend(0.0::DOUBLE,
         list_transform(range(1, length(q.v)+1), i -> q.v[i]*n.v[i])), (x,y)->x+y)
       / (sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(q.v, x->x*x)), (x,y)->x+y))
-       * sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(n.v, x->x*x)), (x,y)->x+y))), 6) AS sim
+       * sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(n.v, x->x*x)), (x,y)->x+y))))*1000000 + 0.5)/1000000.0 AS sim
   FROM e q JOIN e n ON q.vec_id < 5 AND n.vec_id != q.vec_id)
 SELECT query_id, neighbor_id, sim,
        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
@@ -1392,7 +1397,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "stats_by_lang": """
             SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
-                   round(sum(n_chars)*1.0/count(*), 4) AS avg_chars,
+                   floor((sum(n_chars)*1.0/count(*))*10000 + 0.5)/10000.0 AS avg_chars,
                    min(n_chars) AS min_chars, max(n_chars) AS max_chars
             FROM documents GROUP BY lang
         """,
@@ -1592,14 +1597,14 @@ def oracle_sql() -> dict[str, str]:
         "stopword_quality": """
             WITH r AS (
               SELECT lang,
-                round(CASE WHEN length(regexp_extract_all(lower(text), '[\\p{L}\\p{N}_]+')) > 0
+                floor((CASE WHEN length(regexp_extract_all(lower(text), '[\\p{L}\\p{N}_]+')) > 0
                      THEN length(list_filter(regexp_extract_all(lower(text), '[\\p{L}\\p{N}_]+'),
                                              w -> w IN ('the', 'a', 'an', 'and', 'or', 'but', 'of', 'to', 'in', 'on', 'at', 'for', 'with', 'by', 'from', 'as', 'is', 'are', 'was', 'were', 'be', 'been', 'it', 'its', 'this', 'that', 'these', 'those', 'he', 'she', 'they', 'we', 'you', 'i', 'not', 'no', 'do', 'does', 'did', 'have', 'has', 'had', 'will', 'would', 'can', 'could', 'their', 'his', 'her'))) * 1.0
                           / length(regexp_extract_all(lower(text), '[\\p{L}\\p{N}_]+'))
-                     ELSE 0.0 END, 4) AS sw
+                     ELSE 0.0 END)*10000 + 0.5)/10000.0 AS sw
               FROM documents)
             SELECT lang, count(*) AS n_docs,
-                   round(avg(sw), 4) AS avg_stopword_ratio,
+                   floor(avg(sw)*10000 + 0.5)/10000.0 AS avg_stopword_ratio,
                    CAST(sum(CASE WHEN sw >= 0.15 THEN 1 ELSE 0 END) AS BIGINT) AS prose_docs
             FROM r GROUP BY lang
         """,
@@ -1693,15 +1698,15 @@ def oracle_sql() -> dict[str, str]:
         "token_stats": """
             SELECT lang,
                    CAST(sum(length(regexp_extract_all(text, '\\w+'))) AS BIGINT) AS total_tokens,
-                   round(sum(length(regexp_extract_all(text, '\\w+')))*1.0/count(*), 4) AS avg_tokens
+                   floor((sum(length(regexp_extract_all(text, '\\w+')))*1.0/count(*))*10000 + 0.5)/10000.0 AS avg_tokens
             FROM documents GROUP BY lang
         """,
         "bpe_tokens": """
             SELECT source,
                    CAST(sum(length(regexp_extract_all(text,
                      '''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+'))) AS BIGINT) AS total_pretokens,
-                   round(sum(length(regexp_extract_all(text,
-                     '''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+')))*1.0/count(*), 4) AS avg_pretokens
+                   floor((sum(length(regexp_extract_all(text,
+                     '''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+')))*1.0/count(*))*10000 + 0.5)/10000.0 AS avg_pretokens
             FROM documents GROUP BY source
         """,
         "grouping_sets": """
@@ -1811,7 +1816,7 @@ def oracle_sql() -> dict[str, str]:
         "date_trunc": """
             SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
                    count(*) AS n_events,
-                   round(sum(value), 4) AS total_value
+                   floor(sum(value)*10000 + 0.5)/10000.0 AS total_value
             FROM events GROUP BY 1
         """,
         "percentiles": """
@@ -1827,11 +1832,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, o_custkey,
                    rank() OVER w AS rnk,
                    dense_rank() OVER w AS drnk,
-                   round(percent_rank() OVER w, 6) AS prnk,
-                   round(cume_dist() OVER w, 6) AS cdist,
+                   floor(percent_rank() OVER w * 1000000 + 0.5)/1000000.0 AS prnk,
+                   floor(cume_dist() OVER w * 1000000 + 0.5)/1000000.0 AS cdist,
                    ntile(4) OVER w AS quartile,
-                   round(lead(o_totalprice) OVER w, 4) AS next_price,
-                   round(lag(o_totalprice) OVER w, 4) AS prev_price
+                   floor(lead(o_totalprice) OVER w * 10000 + 0.5)/10000.0 AS next_price,
+                   floor(lag(o_totalprice) OVER w * 10000 + 0.5)/10000.0 AS prev_price
             FROM orders
             WHERE o_custkey < 50
             WINDOW w AS (PARTITION BY o_custkey
@@ -1840,7 +1845,7 @@ def oracle_sql() -> dict[str, str]:
         "window_range": """
             SELECT user_id, event_id,
                    floor(sum(value) OVER (
-                       PARTITION BY user_id ORDER BY epoch(ts)
+                       PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
                        RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
                      * 10000 + 0.5) / 10000.0 AS hour_sum
             FROM events WHERE user_id < 10
@@ -1857,13 +1862,13 @@ def oracle_sql() -> dict[str, str]:
         "json_extract": """
             SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
                    count(*) AS n_events,
-                   round(avg(value), 4) AS avg_value
+                   floor(avg(value)*10000 + 0.5)/10000.0 AS avg_value
             FROM events GROUP BY 1
         """,
         "window_running": """
             SELECT user_id, event_id,
-                   round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_value
+                   floor(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)*10000 + 0.5)/10000.0 AS running_value
             FROM events WHERE user_id < 10
         """,
         "rollup_orders": """

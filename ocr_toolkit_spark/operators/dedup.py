@@ -196,6 +196,16 @@ def minhash_banded_frame(
     the oversized_bucket_stats report) reference it multiple times, so
     computing it once is the difference between one signature pass and
     six (r2 verdict; see skew.materialize)."""
+    if n_hashes % bands:
+        # the band slices would silently drop the trailing
+        # n_hashes % bands signature values — paid for, never bucketed,
+        # quietly different recall than requested (r6c review; the
+        # repo's no-silent-caps rule)
+        raise ValueError(
+            f"minhash_banded_frame: bands={bands} must divide "
+            f"n_hashes={n_hashes} — the trailing {n_hashes % bands} "
+            "signature values would be computed but never bucketed"
+        )
     rows_per_band = n_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, k, n_hashes)
     banded = sig.select(
@@ -357,9 +367,16 @@ def simhash_pieces_frame(
         F.posexplode(
             F.array(
                 *[
+                    # bitwiseAND, NOT %: chunk 0's unshifted value keeps
+                    # the sign bit, and Spark's % is SIGNED — a negative
+                    # signature bucketed to a different (chunk 0, val)
+                    # than a positive one with identical low bits,
+                    # silently dropping pairs whose only shared piece was
+                    # chunk 0 (r6c review; pure recall loss, invisible to
+                    # the precision-side self-check)
                     (
                         F.shiftrightunsigned("sig", i * width)
-                        % F.lit(2**width)
+                        .bitwiseAND(F.lit(2**width - 1))
                     ).alias(f"c{i}")
                     for i in range(chunks)
                 ]

@@ -146,6 +146,13 @@ def _decode_hex_bytes(
             d = int(doc_of[i])
             if d != cur_doc:
                 cur_doc, t_doc = d, time.perf_counter()
+            elif cur_doc in over_budget:
+                # cooperative preemption (r6c review): once a doc is over
+                # budget, STOP paying for its remaining spans — it is
+                # already destined for a timeout error row, so the decode
+                # output is never read
+                decoded.append("")
+                continue
         try:
             raw = bytes.fromhex((v or "").strip())
             try:
@@ -417,7 +424,14 @@ def _process_batch(
             # page selection (SPANS.md §3.4.1): selected ∩ [1..n_pages] = ∅ → error
             pb_per_doc = np.bincount(di[paged_span & is_pb], minlength=n_docs)
             paged_docs = fmt == "paged"
-            invalid = paged_docs & ((pb_per_doc + 1) < min(pages))
+            if pages:
+                invalid = paged_docs & ((pb_per_doc + 1) < min(pages))
+            else:
+                # an EMPTY selection (parse_pages(",") by documented
+                # design) selects no page of ANY doc — per-doc error
+                # rows, matching the oracle; min() of an empty set would
+                # kill the whole task instead (r6c review)
+                invalid = paged_docs.copy()
             errors[invalid] = "no valid pages selected"
 
         ph = np.nonzero(paged_span & (kind_np == "heading") & raw_nonempty)[0]

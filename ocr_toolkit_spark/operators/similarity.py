@@ -94,7 +94,12 @@ def brute_force_topk(
         v.join(_broadcast_if_small(queries, q, max_broadcast_queries,
                                    assume_small_queries),
                F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("sim", F.round(cosine(F.col("q_vec"), F.col("v_vec")), 6))
+        .withColumn("sim", F.floor(
+            cosine(F.col("q_vec"), F.col("v_vec")) * 1000000
+            + F.lit(0.5)) / 1000000.0)  # fixed-point: round() on
+        # binary doubles flakes across engines at .x5 halves and
+        # this sim is ORACLE-HASHED (r6c review); lsh/ivf keep
+        # round() — their entries self-validate, never hash sims
         .select("query_id", "neighbor_id", "sim")
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -214,3 +214,27 @@ def test_doc_budget_preempts_mid_parse():
         assert budgeted < bound, (
             f"preemption failed: budgeted {budgeted:.2f}s vs "
             f"unbudgeted {unbudgeted:.2f}s (steal {steal_pct:.1f}%)")
+
+
+def test_bytes_budget_skips_remaining_spans():
+    """r6c review: the hex/GBK decode loop FLAGGED over-budget docs but
+    kept decoding their remaining spans, so a poison bytes doc still cost
+    its full decode time. Once over budget, later spans of that doc must
+    be skipped (their output is never read — the doc becomes a timeout
+    error row)."""
+    import numpy as np
+
+    from ocr_toolkit_spark.operators.extract import _decode_hex_bytes
+
+    values = ["68656c6c6f"] * 50_000  # 'hello'
+    doc_of = np.zeros(len(values), dtype=np.int64)
+    decoded, failed, over = _decode_hex_bytes(
+        values, budget_s=1e-9, doc_of=doc_of
+    )
+    assert over == {0}
+    assert decoded[0] == "hello"      # work before the deadline is kept
+    assert decoded[-1] == ""          # work after it is skipped
+    assert len(decoded) == len(values) and not failed.any()
+    # and without a budget nothing is skipped
+    decoded2, _, over2 = _decode_hex_bytes(values, budget_s=None, doc_of=None)
+    assert over2 == set() and decoded2[-1] == "hello"

@@ -705,3 +705,48 @@ class TestFullNearDedup:
             df, k=3, n_hashes=32, bands=8, threshold=0.8).collect()}
         assert fast == direct
         assert len(fast) < len(rows)  # something was actually removed
+
+
+class TestSimHashChunkBuckets:
+    def test_negative_signature_chunk0_bucket(self, spark, monkeypatch):
+        """r6c review: chunk 0's bucket value was computed with signed %,
+        so a NEGATIVE signature (bit 63 set — half of all docs) landed in
+        a different chunk-0 bucket than a positive one with identical low
+        16 bits. A hamming-3 pair whose ONLY shared piece is chunk 0 was
+        silently dropped — pure recall loss, invisible to the entry's
+        precision-side self-check. Pinned with a stubbed signature UDF so
+        the sigs are exact: B = A with bits 63, 40, 20 flipped (one flip
+        in each of chunks 3, 2, 1; chunk 0 identical; sign differs)."""
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        from ocr_toolkit_spark.operators import dedup as dd
+
+        a = 0x1234
+        b_unsigned = a ^ ((1 << 63) | (1 << 40) | (1 << 20))
+        b = b_unsigned - (1 << 64)  # as signed int64: negative
+        sigs = {"doc A text": a, "doc B text": b}
+
+        @pandas_udf("long")
+        def fake_sig(texts: pd.Series) -> pd.Series:
+            return texts.map(sigs).astype("int64")
+
+        monkeypatch.setattr(dd, "simhash64", fake_sig)
+        df = spark.createDataFrame(
+            [(1, "doc A text"), (2, "doc B text")], "doc_id int, text string"
+        )
+        pairs = {(r.id_a, r.id_b, r.hamming)
+                 for r in dd.simhash_near_dups(df, max_hamming=3).collect()}
+        assert pairs == {(1, 2, 3)}
+
+    def test_bands_must_divide_n_hashes(self, spark):
+        """r6c review: a non-dividing bands count silently dropped the
+        trailing signature values from every bucket — computed, paid for,
+        never used. Loud refusal instead."""
+        import pytest
+
+        from ocr_toolkit_spark.operators.dedup import minhash_banded_frame
+
+        df = spark.createDataFrame([(1, "a b c")], "doc_id int, text string")
+        with pytest.raises(ValueError, match="must divide"):
+            minhash_banded_frame(df, n_hashes=64, bands=12)

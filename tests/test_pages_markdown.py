@@ -94,3 +94,28 @@ class TestMarkdownRender:
         for doc_id, spans in docs:
             exp = oracle.render_markdown(oracle.extract_document(doc_id, spans))
             assert got[doc_id] == exp, doc_id
+
+
+class TestEmptySelection:
+    def test_empty_selection_yields_error_rows_not_crash(self):
+        """r6c review: pages=frozenset() (parse_pages(',') by documented
+        design) used to hit min() of an empty set inside the kernel and
+        kill the whole task; the contract is per-doc error rows matching
+        the oracle ('no valid pages selected'), with non-paged docs
+        unaffected."""
+        docs = generate_documents(120, 42)
+        batch = to_arrow(docs).combine_chunks().to_batches()[0]
+        res = {r["doc_id"]: r
+               for r in _process_batch(batch, True, frozenset()).to_pylist()}
+        assert len(res) == len(docs)
+        gold = {r.doc_id: r
+                for r in oracle.extract_corpus(docs, True, frozenset())}
+        n_paged = 0
+        for did, g in gold.items():
+            r = res[did]
+            assert r["success"] == g.success, did
+            assert r["error"] == g.error, did
+            if g.error == "no valid pages selected":
+                n_paged += 1
+                assert r["out_spans"] == []
+        assert n_paged > 0, "fixture corpus must contain paged docs"
