@@ -144,9 +144,14 @@ def q_quality_scores(spark, sf_dir):
     """T10 quality formula (quality_evaluator.py:46-126), repeat-penalty term
     omitted (Java-regex backreference; RE2/DuckDB cannot express it — the
     full formula is pytest-verified against the oracle instead)."""
+    from ocr_toolkit_spark.operators.skew import spread
     from ocr_toolkit_spark.operators.textstats import with_quality
 
-    d = with_quality(_docs(spark, sf_dir), "text", include_repeat_penalty=False)
+    # spread (r7): the scoring is a pure projection — with a single-row-
+    # group input every regex pass ran on ONE task; per-row values are
+    # partition-independent, so the output is unchanged.
+    d = with_quality(spread(_docs(spark, sf_dir)), "text",
+                     include_repeat_penalty=False)
     return d.select(
         "doc_id",
         _r4(F.col("length_score")).alias("length_score"),
@@ -330,9 +335,13 @@ def q_normalized_dedup(spark, sf_dir):
 
 
 def q_token_stats(spark, sf_dir):
+    from ocr_toolkit_spark.operators.skew import spread
     from ocr_toolkit_spark.operators.textstats import token_count
 
-    d = _docs(spark, sf_dir).withColumn("tokens", token_count(F.col("text")))
+    # spread (r7): the token regex ran map-side in a one-task scan stage;
+    # integer sums are exact, so the aggregation is partition-independent.
+    d = spread(_docs(spark, sf_dir)).withColumn(
+        "tokens", token_count(F.col("text")))
     return d.groupBy("lang").agg(
         F.sum("tokens").alias("total_tokens"),
         _r4(F.sum("tokens") / F.count("*")).alias("avg_tokens"),
@@ -832,10 +841,15 @@ def q_minhash_dedup(spark, sf_dir):
     )
     from ocr_toolkit_spark.operators.skew import (
         oversized_bucket_stats,
+        spread,
         star_capped_pairs,
     )
 
-    d = _docs(spark, sf_dir)
+    # spread (r7): shingle build + 32 per-seed hash minima run map-side
+    # before the per-doc aggregation — one task on a single-row-group
+    # input. Signature/band values are per-doc deterministic, so the
+    # candidate set and verified pairs are unchanged.
+    d = spread(_docs(spark, sf_dir))
     banded = minhash_banded_frame(d, "doc_id", "text", k=5, n_hashes=32, bands=8)
     cand = star_capped_pairs(
         banded, ["band", "band_hash"], "id", materialize_input=False
@@ -915,9 +929,11 @@ def q_simhash_dedup(spark, sf_dir):
         simhash_pairs_from_pieces,
         simhash_pieces_frame,
     )
-    from ocr_toolkit_spark.operators.skew import oversized_bucket_stats
+    from ocr_toolkit_spark.operators.skew import oversized_bucket_stats, spread
 
-    pieces = simhash_pieces_frame(_docs(spark, sf_dir), chunks=4)
+    # spread (r7): the vectorized SimHash UDF ran in a one-task scan stage
+    # on the single-row-group input; signatures are per-doc deterministic.
+    pieces = simhash_pieces_frame(spread(_docs(spark, sf_dir)), chunks=4)
     pairs = simhash_pairs_from_pieces(pieces, max_hamming=3)
     caps = oversized_bucket_stats(pieces, ["chunk", "val"]).agg(
         F.count("*").alias("buckets_capped"),
@@ -990,12 +1006,14 @@ def q_embedding_near_dups(spark, sf_dir):
     via `return_bucketed=True` — this entry previously inlined the
     operator's body to share that frame, and the copies had drifted)."""
     from ocr_toolkit_spark.operators.similarity import (
-        cosine,
+        cosine_precomputed,
         embedding_near_dups,
+        with_vec_norm,
     )
     from ocr_toolkit_spark.operators.skew import (
         materialize,
         oversized_bucket_stats,
+        spread,
     )
 
     e = _t(spark, sf_dir, "embeddings")
@@ -1015,13 +1033,21 @@ def q_embedding_near_dups(spark, sf_dir):
     # slice ⟺ the bucketed path missed nothing there — non-vacuous even
     # when the corpus holds zero near-dups (0 == 0 is a real statement
     # that nothing was missed, where min_sim alone would be).
-    q5 = e.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    # r7: norms hoisted per vector (cosine_precomputed is bit-identical to
+    # cosine) and the corpus side spread — the brute-force slice ran its
+    # 5×N cosines inside a one-task scan stage.
+    q5 = with_vec_norm(
+        e.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+        ),
+        "qv", "_qd", "_qn",
     )
     exact_slice = (
-        e.crossJoin(F.broadcast(q5))
+        with_vec_norm(spread(e), "embedding", "_ed", "_en")
+        .crossJoin(F.broadcast(q5))
         .filter(F.col("vec_id") != F.col("qid"))
-        .withColumn("sim", cosine(F.col("qv"), F.col("embedding")))
+        .withColumn("sim", cosine_precomputed(
+            F.col("_qd"), F.col("_ed"), F.col("_qn"), F.col("_en")))
         .filter(F.col("sim") >= 0.9)
         .select(
             F.least("qid", "vec_id").alias("a"),

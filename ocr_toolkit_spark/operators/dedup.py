@@ -281,7 +281,14 @@ def jaccard_verify(
         .unionByName(candidates.select(F.col("id_b").alias("cid")))
         .distinct()
     )
-    needed = df.join(
+    # spread (r7): the shingle-array build for the verify runs map-side on
+    # the semi-join output, which inherits the corpus scan's partitioning —
+    # one task when the corpus is a single-row-group local file. Spread the
+    # corpus side (where the partition count is honestly known from the
+    # file listing); no-op at real scale.
+    from .skew import spread
+
+    needed = spread(df).join(
         cand_ids, F.col(id_col) == F.col("cid"), "left_semi"
     )
     sh = shingle_frame(needed, id_col, text_col, k)

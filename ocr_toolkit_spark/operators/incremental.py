@@ -442,7 +442,8 @@ def cosine_verify(
     cosine per pair. Returns (id_a, id_b, sim) with sim ≥ threshold.
     `materialize_frames=False` keeps construction lazy (plan inspection —
     the jaccard_verify precedent)."""
-    from .similarity import cosine
+    from .similarity import _norm, cosine_precomputed
+    from .skew import spread
 
     if materialize_frames:
         candidates = materialize(candidates)
@@ -451,21 +452,33 @@ def cosine_verify(
         .unionByName(candidates.select(F.col("id_b").alias("cid")))
         .distinct()
     )
-    v = vectors.select(
+    # spread (r7): the semi-join output inherits the vector scan's
+    # partitioning (one task for a single-row-group local file), and the
+    # per-vector norm is hoisted out of the per-pair cosine — the verify
+    # stage pays ONE dot traversal per pair instead of three.
+    # cosine_precomputed is bit-identical to cosine (similarity.py), so the
+    # verified pair set and sims are unchanged.
+    v = spread(vectors).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
     ).join(cand_ids, F.col("id") == F.col("cid"), "left_semi")
+    v = v.withColumn("_nrm", _norm(F.col("vec").cast("array<double>")))
     if materialize_frames:
         v = materialize(v)
     return (
         candidates.join(
-            v.select(F.col("id").alias("id_a"), F.col("vec").alias("_va")),
+            v.select(F.col("id").alias("id_a"), F.col("vec").alias("_va"),
+                     F.col("_nrm").alias("_na")),
             "id_a",
         )
         .join(
-            v.select(F.col("id").alias("id_b"), F.col("vec").alias("_vb")),
+            v.select(F.col("id").alias("id_b"), F.col("vec").alias("_vb"),
+                     F.col("_nrm").alias("_nb")),
             "id_b",
         )
-        .withColumn("sim", cosine(F.col("_va"), F.col("_vb")))
+        .withColumn("sim", cosine_precomputed(
+            F.col("_va").cast("array<double>"),
+            F.col("_vb").cast("array<double>"),
+            F.col("_na"), F.col("_nb")))
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
     )

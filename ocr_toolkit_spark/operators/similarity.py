@@ -22,7 +22,17 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
-from .skew import DEFAULT_MAX_BUCKET, star_capped_pairs
+from .skew import DEFAULT_MAX_BUCKET, spread, star_capped_pairs
+
+# Build-side byte budget for the bucket self-join in embedding_near_dups
+# (r7, guide §3.1): the materialized (localCheckpoint) bucket frame has no
+# size statistics, so the planner can never pick the broadcast join itself;
+# when a cheap count of the materialized frame proves the build side fits
+# well under executor memory, the operator hints it explicitly and the
+# whole pair-generate+verify stage runs shuffle-free at the probe side's
+# parallelism. Above the budget the shuffle self-join stays — the honest
+# 100-TB shape.
+BROADCAST_BUILD_MAX_BYTES = 128 * 1024 * 1024
 
 # Input-query-count ceiling for the forced broadcast of the query side.
 # Top-k serving contracts say "queries are small", but nothing used to
@@ -73,6 +83,30 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(ad, bd) / (_norm(ad) * _norm(bd))
 
 
+def cosine_precomputed(
+    a_d: Column, b_d: Column, a_norm: Column, b_norm: Column
+) -> Column:
+    """`cosine(a, b)` with the norms (and double casts) hoisted out — for
+    hot paths that score one vector against MANY (top-k) or many pairs
+    (near-dup verify), where recomputing both norms per comparison tripled
+    the higher-order-function traversals (r7, guide §1.2 per-task work).
+
+    BIT-IDENTICAL to `cosine`: `_norm` is deterministic over the same
+    double-cast array, and the expression shape `dot / (norm_a * norm_b)`
+    is unchanged, so hoisting the subexpressions cannot change a single
+    ulp. `a_d`/`b_d` must be the `array<double>` casts of the raw vectors
+    and `a_norm`/`b_norm` their `_norm` values."""
+    return _dot(a_d, b_d) / (a_norm * b_norm)
+
+
+def with_vec_norm(df: DataFrame, vec_col: str, d_col: str, n_col: str) -> DataFrame:
+    """Add the double-cast vector and its norm as columns (the inputs
+    `cosine_precomputed` needs), computed ONCE per row."""
+    return df.withColumn(d_col, F.col(vec_col).cast("array<double>")).withColumn(
+        n_col, _norm(F.col(d_col))
+    )
+
+
 def brute_force_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -84,18 +118,31 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k per query. The query side is broadcast only when
     provably small (see MAX_BROADCAST_QUERIES)."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    q = with_vec_norm(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        ),
+        "q_vec", "_qd", "_qn",
     )
-    v = vectors.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v_vec")
+    # spread: the scoring map runs INSIDE the broadcast-join stage, so its
+    # parallelism is the vector scan's — one task for a single-row-group
+    # local file (r7, skew.spread). Norms/casts are hoisted per VECTOR
+    # instead of per (query, vector) comparison — bit-identical sim.
+    v = with_vec_norm(
+        spread(
+            vectors.select(
+                F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v_vec")
+            )
+        ),
+        "v_vec", "_vd", "_vn",
     )
     scored = (
         v.join(_broadcast_if_small(queries, q, max_broadcast_queries,
                                    assume_small_queries),
                F.col("neighbor_id") != F.col("query_id"))
         .withColumn("sim", F.floor(
-            cosine(F.col("q_vec"), F.col("v_vec")) * 1000000
+            cosine_precomputed(F.col("_qd"), F.col("_vd"),
+                               F.col("_qn"), F.col("_vn")) * 1000000
             + F.lit(0.5)) / 1000000.0)  # fixed-point: round() on
         # binary doubles flakes across engines at .x5 halves and
         # this sim is ORACLE-HASHED (r6c review); lsh/ivf keep
@@ -162,36 +209,46 @@ def lsh_topk(
         (t, make_srp_bucketer(dim, n_bits, seed + t)) for t in range(n_tables)
     ]
     v_buckets = F.array(*[
-        F.struct(F.lit(t).alias("tbl"), bk(F.col(vec_col)).alias("bucket"))
+        F.struct(F.lit(t).alias("tbl"), bk(F.col("v_vec")).alias("bucket"))
         for t, bk in tables
     ])
-    v = vectors.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("v_vec"),
-        F.explode(v_buckets).alias("tb"),
-    ).select("neighbor_id", "v_vec", "tb.tbl", "tb.bucket")
+    v = with_vec_norm(
+        spread(
+            vectors.select(
+                F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v_vec")
+            )
+        ),
+        "v_vec", "_vd", "_vn",
+    ).select(
+        "neighbor_id", "_vd", "_vn", F.explode(v_buckets).alias("tb")
+    ).select("neighbor_id", "_vd", "_vn", "tb.tbl", "tb.bucket")
 
     probes = range(min(n_probe - 1, n_bits)) if n_probe > 1 else ()
     q_buckets = F.array(*[
         F.struct(
             F.lit(t).alias("tbl"),
-            (bk(F.col(vec_col)).bitwiseXOR(F.lit(flip))).alias("bucket"),
+            (bk(F.col("q_vec")).bitwiseXOR(F.lit(flip))).alias("bucket"),
         )
         for t, bk in tables
         for flip in [0, *[1 << i for i in probes]]
     ])
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        F.explode(q_buckets).alias("tb"),
-    ).select("query_id", "q_vec", "tb.tbl", "tb.bucket")
+    q = with_vec_norm(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        ),
+        "q_vec", "_qd", "_qn",
+    ).select(
+        "query_id", "_qd", "_qn", F.explode(q_buckets).alias("tb")
+    ).select("query_id", "_qd", "_qn", "tb.tbl", "tb.bucket")
 
     scored = (
         v.join(_broadcast_if_small(queries, q, max_broadcast_queries,
                                    assume_small_queries),
                ["tbl", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("sim", F.round(cosine(F.col("q_vec"), F.col("v_vec")), 6))
+        .withColumn("sim", F.round(
+            cosine_precomputed(F.col("_qd"), F.col("_vd"),
+                               F.col("_qn"), F.col("_vn")), 6))
         .select("query_id", "neighbor_id", "sim")
         .distinct()  # a pair can meet in several probed buckets/tables
     )
@@ -285,21 +342,33 @@ def ivf_topk(
     )
     v_assign = make_ivf_assigner(centroids, n_probe=1)
     q_assign = make_ivf_assigner(centroids, n_probe=n_probe)
-    v = vectors.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("v_vec"),
-        F.explode(v_assign(F.col(vec_col))).alias("cell"),
+    v = with_vec_norm(
+        spread(
+            vectors.select(
+                F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v_vec")
+            )
+        ),
+        "v_vec", "_vd", "_vn",
+    ).select(
+        "neighbor_id", "_vd", "_vn",
+        F.explode(v_assign(F.col("v_vec"))).alias("cell"),
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        F.explode(q_assign(F.col(vec_col))).alias("cell"),
+    q = with_vec_norm(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        ),
+        "q_vec", "_qd", "_qn",
+    ).select(
+        "query_id", "_qd", "_qn",
+        F.explode(q_assign(F.col("q_vec"))).alias("cell"),
     )
     scored = (
         v.join(_broadcast_if_small(queries, q, max_broadcast_queries,
                                    assume_small_queries), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("sim", F.round(cosine(F.col("q_vec"), F.col("v_vec")), 6))
+        .withColumn("sim", F.round(
+            cosine_precomputed(F.col("_qd"), F.col("_vd"),
+                               F.col("_qn"), F.col("_vn")), 6))
         .select("query_id", "neighbor_id", "sim")
         .distinct()  # a pair can meet in several probed cells
     )
@@ -338,19 +407,40 @@ def embedding_near_dups(
     from .skew import materialize
 
     bucketer = make_srp_bucketer(dim, n_bits, seed)
-    v = vectors.select(
+    # spread BEFORE the projection so the SRP matmul UDF and the per-vector
+    # norm run at full parallelism (single-row-group local inputs scan as
+    # ONE task — r7, skew.spread). `_nrm` hoists the norm per VECTOR: the
+    # per-pair verify then pays one dot traversal instead of three
+    # (dot + both norms) — `cosine_precomputed` is bit-identical to
+    # `cosine`, so the pair set and sims are unchanged.
+    v = spread(vectors).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
         bucketer(F.col(vec_col)).alias("bucket"),
     )
-    if return_bucketed:
-        v = materialize(v)  # compute SRP signatures ONCE for both uses
+    v = v.withColumn("_nrm", _norm(F.col("vec").cast("array<double>")))
+    materialized = materialize_frames or return_bucketed
+    if materialized:
+        v = materialize(v)  # compute SRP signatures ONCE for all uses
+    # Broadcast the self-join build side when the materialized frame is
+    # provably small (cheap count over the checkpointed rows): the
+    # checkpoint erased size stats, so without the hint the planner picks
+    # a sort-merge join whose small shuffle AQE coalesces to ~1 task —
+    # serializing every per-pair cosine. Above the budget (or when lazy),
+    # keep the shuffle join: the honest 100-TB shape.
+    bcast = False
+    if materialized:
+        est_row = dim * 4 + 96  # float vec + id/bucket/_nrm + row overhead
+        bcast = v.count() * est_row <= BROADCAST_BUILD_MAX_BYTES
     pairs = (
-        star_capped_pairs(v, ["bucket"], "id", payload_cols=("vec",),
+        star_capped_pairs(v, ["bucket"], "id", payload_cols=("vec", "_nrm"),
                           max_bucket=max_bucket,
-                          materialize_input=materialize_frames
-                          and not return_bucketed)
-        .withColumn("sim", cosine(F.col("vec_a"), F.col("vec_b")))
+                          materialize_input=False,
+                          broadcast_build=bcast)
+        .withColumn("sim", cosine_precomputed(
+            F.col("vec_a").cast("array<double>"),
+            F.col("vec_b").cast("array<double>"),
+            F.col("_nrm_a"), F.col("_nrm_b")))
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
     )

@@ -36,6 +36,29 @@ from pyspark.sql import functions as F
 DEFAULT_MAX_BUCKET = 256
 
 
+def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Scale-adaptive parallelism floor for map-heavy stages (r7, guide §2.5
+    "input skew" / §6 input split size).
+
+    The driver tables are single parquet files with ONE row group, and
+    parquet can only parallelize a scan across row groups — so every
+    map-side stage before the first shuffle (quality regexes, shingle
+    hashing, the SimHash/SRP UDFs, per-pair cosine verify) runs on ONE
+    core no matter how many the box has. A round-robin repartition of the
+    few-MB input is orders of magnitude cheaper than the serialized
+    compute it unblocks.
+
+    Scale safety: the repartition fires ONLY when the input has fewer
+    partitions than the session's default parallelism. At real scale a
+    table scan already carries >= cores splits, so this is a no-op there —
+    never a payload shuffle of a big table. `getNumPartitions` is computed
+    from the file listing; no job runs."""
+    target = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def materialize(df: DataFrame) -> DataFrame:
     """Cut the plan: compute `df` once and reuse the rows for every
     downstream reference.
@@ -65,6 +88,7 @@ def star_capped_pairs(
     payload_cols: tuple[str, ...] = (),
     max_bucket: int = DEFAULT_MAX_BUCKET,
     materialize_input: bool = True,
+    broadcast_build: bool = False,
 ) -> DataFrame:
     """Candidate pairs (id_a < id_b) from a bucket self-join with the
     oversized-bucket star guard.  Payload columns are carried through as
@@ -72,7 +96,18 @@ def star_capped_pairs(
 
     The input is materialized by default (see `materialize`): this function
     fans `df` out four ways, and every LSH-family caller hands it a frame
-    whose lineage contains the expensive signature pipeline."""
+    whose lineage contains the expensive signature pipeline.
+
+    `broadcast_build=True` (r7, guide §3.1): hint the b-side of the
+    self-join for broadcast. A materialized (localCheckpoint) input has NO
+    size statistics, so the planner treats it as huge and picks a
+    sort-merge join whose tiny shuffle AQE then coalesces down to a
+    handful of tasks — serializing the per-pair verify work that runs
+    inside the join stage. With the build side broadcast, pair generation
+    AND verification run at the probe side's parallelism with no exchange
+    at all. Callers enable it only when the frame is provably small
+    (embedding_near_dups counts the materialized frame first); the
+    default stays the shuffle join — the honest 100-TB shape."""
     if materialize_input:
         df = materialize(df)
     # One aggregation finds the oversized buckets; its output is TINY
@@ -95,6 +130,8 @@ def star_capped_pairs(
         lambda x, y: x & y,
         [F.col(f"a.{k}") == F.col(f"b.{k}") for k in key_cols],
     ) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    if broadcast_build:
+        b = F.broadcast(b)
     pairs_small = a.join(b, cond).select(
         F.col(f"a.{id_col}").alias("id_a"),
         F.col(f"b.{id_col}").alias("id_b"),
