@@ -851,8 +851,12 @@ def q_minhash_dedup(spark, sf_dir):
     # candidate set and verified pairs are unchanged.
     d = spread(_docs(spark, sf_dir))
     banded = minhash_banded_frame(d, "doc_id", "text", k=5, n_hashes=32, bands=8)
+    from ocr_toolkit_spark.operators.dedup import BANDED_ROW_BYTES
+    from ocr_toolkit_spark.operators.skew import broadcast_build_fits
+
     cand = star_capped_pairs(
-        banded, ["band", "band_hash"], "id", materialize_input=False
+        banded, ["band", "band_hash"], "id", materialize_input=False,
+        broadcast_build=broadcast_build_fits(banded, BANDED_ROW_BYTES),
     ).distinct()
     verified = jaccard_verify(cand, d, "doc_id", "text", k=5, threshold=0.5)
     caps = oversized_bucket_stats(banded, ["band", "band_hash"]).agg(
@@ -933,8 +937,13 @@ def q_simhash_dedup(spark, sf_dir):
 
     # spread (r7): the vectorized SimHash UDF ran in a one-task scan stage
     # on the single-row-group input; signatures are per-doc deterministic.
+    from ocr_toolkit_spark.operators.dedup import PIECES_ROW_BYTES
+    from ocr_toolkit_spark.operators.skew import broadcast_build_fits
+
     pieces = simhash_pieces_frame(spread(_docs(spark, sf_dir)), chunks=4)
-    pairs = simhash_pairs_from_pieces(pieces, max_hamming=3)
+    pairs = simhash_pairs_from_pieces(
+        pieces, max_hamming=3,
+        broadcast_build=broadcast_build_fits(pieces, PIECES_ROW_BYTES))
     caps = oversized_bucket_stats(pieces, ["chunk", "val"]).agg(
         F.count("*").alias("buckets_capped"),
         F.coalesce(F.sum("pairs_avoided"), F.lit(0)).alias("pairs_avoided"),

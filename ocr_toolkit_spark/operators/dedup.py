@@ -26,7 +26,18 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
-from .skew import DEFAULT_MAX_BUCKET, materialize, star_capped_pairs
+from .skew import (
+    DEFAULT_MAX_BUCKET,
+    broadcast_build_fits,
+    materialize,
+    star_capped_pairs,
+)
+
+# conservative per-row estimates for the broadcast-build decision (r7):
+# banded minhash row = (id, band, band_hash) longs; simhash pieces row =
+# (id, sig, chunk, val) longs — padded generously for JVM row overhead.
+BANDED_ROW_BYTES = 64
+PIECES_ROW_BYTES = 72
 
 
 # --- exact / normalized ------------------------------------------------------
@@ -247,10 +258,17 @@ def minhash_lsh_candidates(
         df, id_col, text_col, k, n_hashes, bands,
         materialize_frame=materialize_frames,
     )
+    # broadcast the self-join build side when the materialized band frame
+    # provably fits the budget (r7, skew.broadcast_build_fits): the
+    # checkpointed frame has no stats, so without the hint the planner
+    # picks a sort-merge join whose tiny shuffle AQE coalesces to ~1 task.
+    bcast = materialize_frames and broadcast_build_fits(
+        banded, BANDED_ROW_BYTES)
     return (
         star_capped_pairs(banded, ["band", "band_hash"], "id",
                           max_bucket=max_bucket,
-                          materialize_input=False)
+                          materialize_input=False,
+                          broadcast_build=bcast)
         .distinct()
     )
 
@@ -397,12 +415,16 @@ def simhash_pairs_from_pieces(
     pieces: DataFrame,
     max_hamming: int = 3,
     max_bucket: int = DEFAULT_MAX_BUCKET,
+    broadcast_build: bool = False,
 ) -> DataFrame:
     """Hamming-verified near-dup pairs from a prebuilt pieces frame
-    (simhash_pieces_frame) — exact bit_count(xor) on candidates only."""
+    (simhash_pieces_frame) — exact bit_count(xor) on candidates only.
+    `broadcast_build=True` when the caller proved the pieces frame fits
+    the broadcast budget (skew.broadcast_build_fits)."""
     cand = star_capped_pairs(
         pieces, ["chunk", "val"], "id", payload_cols=("sig",),
         max_bucket=max_bucket, materialize_input=False,
+        broadcast_build=broadcast_build,
     ).distinct()
     return (
         cand.withColumn(
@@ -434,4 +456,7 @@ def simhash_near_dups(
     pieces = simhash_pieces_frame(
         df, id_col, text_col, chunks, materialize_frame=materialize_frames
     )
-    return simhash_pairs_from_pieces(pieces, max_hamming, max_bucket)
+    bcast = materialize_frames and broadcast_build_fits(
+        pieces, PIECES_ROW_BYTES)
+    return simhash_pairs_from_pieces(pieces, max_hamming, max_bucket,
+                                     broadcast_build=bcast)

@@ -435,6 +435,7 @@ def cosine_verify(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     materialize_frames: bool = True,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact-cosine verification of candidate pairs — the embedding
     jaccard_verify: the vector table is semi-joined down to candidate ids
@@ -464,15 +465,26 @@ def cosine_verify(
     v = v.withColumn("_nrm", _norm(F.col("vec").cast("array<double>")))
     if materialize_frames:
         v = materialize(v)
+    # broadcast the (candidate-touched) vector side when provably small
+    # (r7, skew.broadcast_build_fits): checkpointed frames have no stats,
+    # so without the hint both pair joins are sort-merge joins whose tiny
+    # shuffles AQE coalesces to ~1 task — serializing the per-pair dot.
+    # Needs `dim` (callers that know it pass it); lazy/unknown → no hint.
+    from .skew import broadcast_build_fits
+
+    hint = F.broadcast if (
+        materialize_frames and dim is not None
+        and broadcast_build_fits(v, dim * 4 + 96)
+    ) else (lambda df: df)
     return (
         candidates.join(
-            v.select(F.col("id").alias("id_a"), F.col("vec").alias("_va"),
-                     F.col("_nrm").alias("_na")),
+            hint(v.select(F.col("id").alias("id_a"), F.col("vec").alias("_va"),
+                          F.col("_nrm").alias("_na"))),
             "id_a",
         )
         .join(
-            v.select(F.col("id").alias("id_b"), F.col("vec").alias("_vb"),
-                     F.col("_nrm").alias("_nb")),
+            hint(v.select(F.col("id").alias("id_b"), F.col("vec").alias("_vb"),
+                          F.col("_nrm").alias("_nb"))),
             "id_b",
         )
         .withColumn("sim", cosine_precomputed(
@@ -533,7 +545,8 @@ def incremental_embedding_round(
     state = read_signature_state(spark, state_path)
     cand = delta_candidate_pairs(banded, state, max_bucket=max_bucket,
                                  assume_new_materialized=True)
-    pairs = cosine_verify(cand, corpus_vecs, threshold, id_col, vec_col)
+    pairs = cosine_verify(cand, corpus_vecs, threshold, id_col, vec_col,
+                          dim=dim)
     pairs = materialize(pairs)  # compute before the state append mutates
     if commit:
         append_signatures(banded, state_path, run_id)

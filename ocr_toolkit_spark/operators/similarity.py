@@ -24,15 +24,7 @@ from pyspark.sql.functions import pandas_udf
 
 from .skew import DEFAULT_MAX_BUCKET, spread, star_capped_pairs
 
-# Build-side byte budget for the bucket self-join in embedding_near_dups
-# (r7, guide §3.1): the materialized (localCheckpoint) bucket frame has no
-# size statistics, so the planner can never pick the broadcast join itself;
-# when a cheap count of the materialized frame proves the build side fits
-# well under executor memory, the operator hints it explicitly and the
-# whole pair-generate+verify stage runs shuffle-free at the probe side's
-# parallelism. Above the budget the shuffle self-join stays — the honest
-# 100-TB shape.
-BROADCAST_BUILD_MAX_BYTES = 128 * 1024 * 1024
+from .skew import BROADCAST_BUILD_MAX_BYTES
 
 # Input-query-count ceiling for the forced broadcast of the query side.
 # Top-k serving contracts say "queries are small", but nothing used to

@@ -35,6 +35,23 @@ from pyspark.sql import functions as F
 
 DEFAULT_MAX_BUCKET = 256
 
+# Build-side byte budget for the LSH-family bucket self-joins (r7, guide
+# §3.1): materialized (localCheckpoint) frames carry NO size statistics, so
+# the planner can never pick the broadcast join itself; when a cheap count
+# of the checkpointed frame proves the build side fits well under executor
+# memory, the caller hints it explicitly (star_capped_pairs
+# broadcast_build) and the pair-generate+verify stage runs shuffle-free at
+# the probe side's parallelism. Above the budget the shuffle self-join
+# stays — the honest 100-TB shape.
+BROADCAST_BUILD_MAX_BYTES = 128 * 1024 * 1024
+
+
+def broadcast_build_fits(materialized_df: DataFrame, est_row_bytes: int) -> bool:
+    """True when a MATERIALIZED frame provably fits the broadcast-build
+    budget. Only call on checkpointed frames (the count is then a cheap
+    scan of stored rows, not a recompute of the signature pipeline)."""
+    return materialized_df.count() * est_row_bytes <= BROADCAST_BUILD_MAX_BYTES
+
 
 def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     """Scale-adaptive parallelism floor for map-heavy stages (r7, guide §2.5

@@ -28,7 +28,7 @@ def run_pass(tree: str, sf_dir: str, queries: str, skip_extract: bool,
              tag: str) -> dict:
     out_json = f"/tmp/ab_{tag}.json"
     cmd = [sys.executable, "bench_extra.py", "--sf-dir", sf_dir,
-           "--runs", "1", "--json", out_json]
+           "--runs", "2", "--json", out_json]
     if queries:
         cmd += ["--queries", queries]
     if skip_extract:
