@@ -268,18 +268,24 @@ def q_near_dup_components(spark, sf_dir):
     against a DuckDB recursive-CTE closure."""
     from ocr_toolkit_spark.operators.cc import connected_components
     from ocr_toolkit_spark.operators.dedup import shingle_frame
-    from ocr_toolkit_spark.operators.skew import materialize
+    from ocr_toolkit_spark.operators.skew import materialize, spread
 
-    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 500)
+    # spread (r7): the all-pairs nested-loop join streams the scan side —
+    # one task on a single-row-group input; shingle sets are per-doc
+    # deterministic, so pairs are unchanged.
+    d = spread(_docs(spark, sf_dir).filter(F.col("doc_id") < 500))
     # materialized: the all-pairs join references sh twice (a/b sides)
     sh = materialize(shingle_frame(d, "doc_id", "text", 5))
     a, b = sh.alias("a"), sh.alias("b")
+    inter = F.size(F.array_intersect("a.sh", "b.sh"))
     pairs = (
         a.join(b, F.col("a.id") < F.col("b.id"))
         .withColumn(
+            # |A∪B| = |A|+|B|-|A∩B|: exact for distinct shingle sets, so
+            # j is bit-identical while the per-pair union-array
+            # allocation is gone (r7; jaccard_verify precedent)
             "j",
-            F.size(F.array_intersect("a.sh", "b.sh"))
-            / F.size(F.array_union("a.sh", "b.sh")),
+            inter / (F.size("a.sh") + F.size("b.sh") - inter),
         )
         .filter(F.col("j") >= 0.6)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
@@ -772,8 +778,12 @@ def q_extract_pipeline(spark, sf_dir):
     span structs are never read here, and Spark cannot column-prune
     through the Python node (measured 1.8× at 1M docs)."""
     from ocr_toolkit_spark.operators.extract import extract_spans
+    from ocr_toolkit_spark.operators.skew import spread
 
-    extracted = extract_spans(_spanify(_docs(spark, sf_dir)),
+    # spread (r7): the mapInArrow kernel runs in the scan stage — one task
+    # on a single-row-group input; per-doc outputs and the integer sums
+    # are partition-independent.
+    extracted = extract_spans(_spanify(spread(_docs(spark, sf_dir))),
                               include_spans=False)
     return (
         extracted.groupBy("method")
@@ -816,7 +826,11 @@ def q_extract_counts(spark, sf_dir):
            | (F.col("text").isNotNull() & F.col("lang").isNotNull()
               & F.col("source").isNotNull() & F.col("n_chars").isNotNull()))
     )
-    extracted = extract_spans(_spanify(docs), include_spans=False)
+    from ocr_toolkit_spark.operators.skew import spread
+
+    # spread (r7): same one-task scan-stage fix as q_extract_pipeline;
+    # exact integer aggregates, output unchanged.
+    extracted = extract_spans(_spanify(spread(docs)), include_spans=False)
     return (
         extracted.groupBy("method")
         .agg(

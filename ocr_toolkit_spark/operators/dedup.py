@@ -312,13 +312,18 @@ def jaccard_verify(
     sh = shingle_frame(needed, id_col, text_col, k)
     if materialize_frames:
         sh = materialize(sh)
+    # |A∪B| = |A|+|B|-|A∩B| — exact for the distinct shingle sets built
+    # above (r7): same integers as size(array_union), so the jaccard
+    # double is bit-identical, but the per-pair union-array allocation
+    # (the larger of the two set operations) is gone.
     j = (
         candidates.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
         .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
+        .withColumn("_inter", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn(
             "jaccard",
-            F.size(F.array_intersect("sh_a", "sh_b"))
-            / F.size(F.array_union("sh_a", "sh_b")),
+            F.col("_inter")
+            / (F.size("sh_a") + F.size("sh_b") - F.col("_inter")),
         )
     )
     return j.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
