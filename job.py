@@ -327,14 +327,31 @@ def main(argv: list[str] | None = None) -> int:
         ]:
             for f in sorted(files):
                 fp = os.path.join(root, f)
-                h.update(f"{f}:{os.path.getsize(fp)};".encode())
+                # r7 (ADVICE r6): key on path relative to the delta root +
+                # size + mtime, not basename+size alone — a re-drop of
+                # corrected vectors in same-named same-size files (likely
+                # for fixed-width embedding parquet) must be a NEW ingest,
+                # not a silent replay.
+                rel = os.path.relpath(fp, delta_path)
+                st = os.stat(fp)
+                h.update(f"{rel}:{st.st_size}:{st.st_mtime_ns};".encode())
         run_id = f"embed-delta-{h.hexdigest()[:16]}"
 
         spark = get_spark(app_name="ocr-dedup-delta-embed",
                           master=args.master)
         delta = spark.read.parquet(delta_path)
         corpus = spark.read.parquet(corpus_path)
-        dim = len(delta.select("embedding").first()[0])
+        head = delta.select("embedding").first()
+        if head is None or head[0] is None:
+            # r7 (ADVICE r6): an empty delta drop used to die in len(None);
+            # mirror incremental_embedding_round's graceful empty-round
+            # path — zero pairs, NO state commit.
+            print(json.dumps({"run_id": run_id, "pairs": 0,
+                              "min_sim": 1.0,
+                              "state_commits": tio.latest_snapshot_id(state)}))
+            spark.stop()
+            return 0
+        dim = len(head[0])
         pairs = incremental_embedding_round(
             spark, delta, corpus, state, run_id, dim=dim,
             threshold=args.embed_threshold, n_bits=args.embed_bits,

@@ -436,6 +436,7 @@ def cosine_verify(
     vec_col: str = "embedding",
     materialize_frames: bool = True,
     dim: int | None = None,
+    require_all_ids: bool = False,
 ) -> DataFrame:
     """Exact-cosine verification of candidate pairs — the embedding
     jaccard_verify: the vector table is semi-joined down to candidate ids
@@ -463,19 +464,40 @@ def cosine_verify(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
     ).join(cand_ids, F.col("id") == F.col("cid"), "left_semi")
     v = v.withColumn("_nrm", _norm(F.col("vec").cast("array<double>")))
+    hint = lambda df: df  # noqa: E731
     if materialize_frames:
         v = materialize(v)
-    # broadcast the (candidate-touched) vector side when provably small
-    # (r7, skew.broadcast_build_fits): checkpointed frames have no stats,
-    # so without the hint both pair joins are sort-merge joins whose tiny
-    # shuffles AQE coalesces to ~1 task — serializing the per-pair dot.
-    # Needs `dim` (callers that know it pass it); lazy/unknown → no hint.
-    from .skew import broadcast_build_fits
+        n_resolved = v.count()
+        # opt-in loud refusal (r7, ADVICE r6 #5): the pair joins below are
+        # INNER — a candidate id missing from `vectors` silently drops its
+        # pairs. That drop IS the contract for REPLAY rounds (a replayed
+        # round verifies against its own round's corpus and returns a
+        # subset — test_embedding_delta_union_equals_full), so the check
+        # must stay off by default; callers that guarantee old+new-union
+        # coverage can opt in and get a loud failure instead of a quietly
+        # smaller pair set.
+        if require_all_ids:
+            n_cand_ids = cand_ids.count()
+            if n_resolved < n_cand_ids:
+                raise ValueError(
+                    f"cosine_verify: only {n_resolved} of {n_cand_ids} "
+                    "distinct candidate ids resolve in the vector table — "
+                    "candidates reference vectors the caller did not pass "
+                    "(the vector side must cover every id in the candidate "
+                    "pairs). Refusing to silently drop their pairs."
+                )
+        # broadcast the (candidate-touched) vector side when provably
+        # small (r7, skew.BROADCAST_BUILD_MAX_BYTES): checkpointed frames
+        # have no stats, so without the hint both pair joins are
+        # sort-merge joins whose tiny shuffles AQE coalesces to ~1 task —
+        # serializing the per-pair dot. Needs `dim` (callers that know it
+        # pass it); unknown → no hint.
+        from .skew import BROADCAST_BUILD_MAX_BYTES
 
-    hint = F.broadcast if (
-        materialize_frames and dim is not None
-        and broadcast_build_fits(v, dim * 4 + 96)
-    ) else (lambda df: df)
+        if dim is not None and (
+            n_resolved * (dim * 4 + 96) <= BROADCAST_BUILD_MAX_BYTES
+        ):
+            hint = F.broadcast
     return (
         candidates.join(
             hint(v.select(F.col("id").alias("id_a"), F.col("vec").alias("_va"),
@@ -848,8 +870,13 @@ def gc_signature_state(
         tomb.write.mode("overwrite").parquet(
             os.path.join(repair_dir, "_tombstones")
         )
-        with open(pids_file, "w") as f:
+        # atomic publish (r7, ADVICE r6): a crash mid-write must leave the
+        # pids file ABSENT (resume recomputes), never truncated (resume
+        # would die in json.load forever) — write-to-tmp + os.replace.
+        tmp_pids = pids_file + ".tmp"
+        with open(tmp_pids, "w") as f:
             json.dump(pids, f)
+        os.replace(tmp_pids, pids_file)
         _apply_gc_rewrite(spark, state, tomb, state_path, pids)
         tio.snapshot_commit(state_path, run_id, pids, operation="delete")
     return repair

@@ -152,17 +152,33 @@ def stream_extract_committed(
     def commit_batch(df: DataFrame, batch_id: int) -> None:
         b = int(batch_id)
         run_id = f"stream-{stream_identity()}-batch-{b}"
+        # legacy identity (pre-r6 upgrade path — ADVICE r6 #4): batches
+        # committed before the query-id identity switch carry a run_id
+        # derived from the checkpoint PATH hash; a crash-window replay
+        # after upgrading must recognize those as its own, not raise the
+        # foreign-owner error against a healthy stream.
+        legacy_run_id = (
+            "stream-"
+            + hashlib.sha256(
+                os.path.abspath(checkpoint_dir).encode()
+            ).hexdigest()[:12]
+            + f"-batch-{b}"
+        )
         if df.isEmpty():
             return  # never claim a batch id with zero files under it
         # replay check against retained HISTORY, not the tip owner: a
         # maintenance re-claim (compaction "replace") must not make a
         # legitimate crash-window replay look foreign (r6c review)
-        if tio.find_run_snapshot(output_dir, run_id):
+        if tio.find_run_snapshot(output_dir, run_id) or tio.find_run_snapshot(
+            output_dir, legacy_run_id
+        ):
             return  # replayed batch, already durable in data AND log
         tip = tio.latest_snapshot_id(output_dir)
         owner = (
             tio.partitions_as_of(output_dir, tip).get(str(b)) if tip else None
         )
+        if owner in (run_id, legacy_run_id):
+            return  # ours (history pruned past the snapshot): a replay
         if owner is not None:
             raise RuntimeError(
                 f"batch id {b} of {output_dir} is already committed by "
