@@ -138,6 +138,11 @@ def main() -> int:
                     plans_dir, f"{name}_{args.explain_tag}.txt"), "w") as f:
                 f.write(txt)
 
+    if args.runs <= 0:  # plans-only mode
+        print(json.dumps({"plans": args.explain_tag, "sf": sf}))
+        spark.stop()
+        return 0
+
     results: dict[str, list[float]] = {}
     for name, fn, _ in workloads:
         spark.sparkContext.setJobDescription(f"bench_extra:{name}")
