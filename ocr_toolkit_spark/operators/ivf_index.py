@@ -52,7 +52,11 @@ from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
 from .. import io as tio
-from .similarity import cosine, make_ivf_assigner, train_ivf_centroids
+from .similarity import (
+    cosine_precomputed,
+    make_ivf_assigner,
+    train_ivf_centroids,
+)
 
 META_FILE = "_ivf_meta.json"
 QUANTIZER_FILE = "_quantizer.npy"
@@ -469,16 +473,33 @@ def ivf_index_topk(
         raise ValueError(f"no IVF index under {index_path}")
     centroids = load_quantizer(index_path)
     q_assign = make_ivf_assigner(centroids, n_probe=n_probe)
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        F.explode(q_assign(F.col(vec_col))).alias("cell"),
+    from .similarity import with_vec_norm
+    from .skew import spread
+
+    # r7: norms/casts hoisted per vector (cosine_precomputed is
+    # bit-identical to cosine) and the pruned index scan spread — the
+    # per-candidate scoring runs probe-side of the broadcast join, i.e. at
+    # the scan's parallelism.
+    q = with_vec_norm(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        ),
+        "q_vec", "_qd", "_qn",
+    ).select(
+        "query_id", "_qd", "_qn",
+        F.explode(q_assign(F.col("q_vec"))).alias("cell"),
     ).localCheckpoint(eager=True)  # assign once: probed-cell list + join
     probed = sorted(r[0] for r in q.select("cell").distinct().collect())
-    v = read_ivf_index(spark, index_path).filter(
-        F.col("cell").isin(probed)  # partition pruning on the nested layout
-    ).select(
-        F.col("vec_id").alias("neighbor_id"), "embedding", "cell"
+    v = with_vec_norm(
+        spread(
+            read_ivf_index(spark, index_path).filter(
+                # partition pruning on the nested layout
+                F.col("cell").isin(probed)
+            ).select(
+                F.col("vec_id").alias("neighbor_id"), "embedding", "cell"
+            )
+        ),
+        "embedding", "_vd", "_vn",
     )
     from pyspark.sql import Window
 
@@ -486,7 +507,9 @@ def ivf_index_topk(
         v.join(F.broadcast(q), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
-            "sim", F.round(cosine(F.col("q_vec"), F.col("embedding")), 6)
+            "sim", F.round(
+                cosine_precomputed(F.col("_qd"), F.col("_vd"),
+                                   F.col("_qn"), F.col("_vn")), 6)
         )
         .select("query_id", "neighbor_id", "sim")
         .distinct()  # a pair can meet in several probed cells

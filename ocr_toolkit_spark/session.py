@@ -50,6 +50,12 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # parquet writes default to zstd (guide §6; r7): interleaved A/B on
+        # the bench's extract_write shape (4 reps each) measured zstd equal
+        # to snappy within noise (5.71 vs 5.84 s median) at 1.75× smaller
+        # output (93 vs 163 MB) — same result as the r6 streaming-sink
+        # measurement. Smaller files = less downstream scan I/O at scale.
+        .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_MAX_RECORDS))
         .config("spark.sql.session.timeZone", "UTC")
