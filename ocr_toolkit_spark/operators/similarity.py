@@ -22,9 +22,12 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
-from .skew import DEFAULT_MAX_BUCKET, spread, star_capped_pairs
-
-from .skew import BROADCAST_BUILD_MAX_BYTES
+from .skew import (
+    BROADCAST_BUILD_MAX_BYTES,
+    DEFAULT_MAX_BUCKET,
+    spread,
+    star_capped_pairs,
+)
 
 # Input-query-count ceiling for the forced broadcast of the query side.
 # Top-k serving contracts say "queries are small", but nothing used to
