@@ -301,14 +301,20 @@ def jaccard_verify(
     )
     # spread (r7): the shingle-array build for the verify runs map-side on
     # the semi-join output, which inherits the corpus scan's partitioning —
-    # one task when the corpus is a single-row-group local file. Spread the
-    # corpus side (where the partition count is honestly known from the
-    # file listing); no-op at real scale.
-    from .skew import spread
-
-    needed = spread(df).join(
+    # one task when the corpus is a single-row-group local file. The
+    # DECISION reads the source's partition count (honest from the file
+    # listing; the semi-join plan's count is a pre-AQE guess), but the
+    # repartition applies to the semi-join OUTPUT, so only the
+    # candidate-touched docs are ever shuffled — spreading the source
+    # itself re-shuffled the ENTIRE corpus text before the semi-join could
+    # prune it (measured +17% on the 1M dedup suite, r7b). No-op at real
+    # scale.
+    target = df.sparkSession.sparkContext.defaultParallelism
+    needed = df.join(
         cand_ids, F.col(id_col) == F.col("cid"), "left_semi"
     )
+    if df.rdd.getNumPartitions() < target:
+        needed = needed.repartition(target)
     sh = shingle_frame(needed, id_col, text_col, k)
     if materialize_frames:
         sh = materialize(sh)

@@ -445,7 +445,6 @@ def cosine_verify(
     `materialize_frames=False` keeps construction lazy (plan inspection —
     the jaccard_verify precedent)."""
     from .similarity import _norm, cosine_precomputed
-    from .skew import spread
 
     if materialize_frames:
         candidates = materialize(candidates)
@@ -459,10 +458,17 @@ def cosine_verify(
     # per-vector norm is hoisted out of the per-pair cosine — the verify
     # stage pays ONE dot traversal per pair instead of three.
     # cosine_precomputed is bit-identical to cosine (similarity.py), so the
-    # verified pair set and sims are unchanged.
-    v = spread(vectors).select(
+    # verified pair set and sims are unchanged. The spread decision reads
+    # the SOURCE's partition count but repartitions only the semi-join
+    # output — never the whole vector table (the jaccard_verify r7b
+    # lesson: spreading the source re-shuffles the full corpus before the
+    # semi-join prunes it).
+    target = vectors.sparkSession.sparkContext.defaultParallelism
+    v = vectors.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
     ).join(cand_ids, F.col("id") == F.col("cid"), "left_semi")
+    if vectors.rdd.getNumPartitions() < target:
+        v = v.repartition(target)
     v = v.withColumn("_nrm", _norm(F.col("vec").cast("array<double>")))
     hint = lambda df: df  # noqa: E731
     if materialize_frames:
