@@ -473,7 +473,6 @@ def cosine_verify(
     hint = lambda df: df  # noqa: E731
     if materialize_frames:
         v = materialize(v)
-        n_resolved = v.count()
         # opt-in loud refusal (r7, ADVICE r6 #5): the pair joins below are
         # INNER — a candidate id missing from `vectors` silently drops its
         # pairs. That drop IS the contract for REPLAY rounds (a replayed
@@ -483,6 +482,7 @@ def cosine_verify(
         # coverage can opt in and get a loud failure instead of a quietly
         # smaller pair set.
         if require_all_ids:
+            n_resolved = v.count()
             n_cand_ids = cand_ids.count()
             if n_resolved < n_cand_ids:
                 raise ValueError(
@@ -493,16 +493,14 @@ def cosine_verify(
                     "pairs). Refusing to silently drop their pairs."
                 )
         # broadcast the (candidate-touched) vector side when provably
-        # small (r7, skew.BROADCAST_BUILD_MAX_BYTES): checkpointed frames
-        # have no stats, so without the hint both pair joins are
-        # sort-merge joins whose tiny shuffles AQE coalesces to ~1 task —
-        # serializing the per-pair dot. Needs `dim` (callers that know it
-        # pass it); unknown → no hint.
-        from .skew import BROADCAST_BUILD_MAX_BYTES
+        # small (r7, skew.broadcast_build_fits — a bounded early-stop
+        # probe): checkpointed frames have no stats, so without the hint
+        # both pair joins are sort-merge joins whose tiny shuffles AQE
+        # coalesces to ~1 task — serializing the per-pair dot. Needs `dim`
+        # (callers that know it pass it); unknown → no hint.
+        from .skew import broadcast_build_fits
 
-        if dim is not None and (
-            n_resolved * (dim * 4 + 96) <= BROADCAST_BUILD_MAX_BYTES
-        ):
+        if dim is not None and broadcast_build_fits(v, dim * 4 + 96):
             hint = F.broadcast
     return (
         candidates.join(

@@ -22,12 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
-from .skew import (
-    BROADCAST_BUILD_MAX_BYTES,
-    DEFAULT_MAX_BUCKET,
-    spread,
-    star_capped_pairs,
-)
+from .skew import DEFAULT_MAX_BUCKET, spread, star_capped_pairs
 
 # Input-query-count ceiling for the forced broadcast of the query side.
 # Top-k serving contracts say "queries are small", but nothing used to
@@ -425,8 +420,10 @@ def embedding_near_dups(
     # keep the shuffle join: the honest 100-TB shape.
     bcast = False
     if materialized:
-        est_row = dim * 4 + 96  # float vec + id/bucket/_nrm + row overhead
-        bcast = v.count() * est_row <= BROADCAST_BUILD_MAX_BYTES
+        from .skew import broadcast_build_fits
+
+        # float vec + id/bucket/_nrm + row overhead; bounded probe
+        bcast = broadcast_build_fits(v, dim * 4 + 96)
     pairs = (
         star_capped_pairs(v, ["bucket"], "id", payload_cols=("vec", "_nrm"),
                           max_bucket=max_bucket,
