@@ -313,7 +313,7 @@ def jaccard_verify(
     needed = df.join(
         cand_ids, F.col(id_col) == F.col("cid"), "left_semi"
     )
-    if df.rdd.getNumPartitions() < target:
+    if df.rdd.getNumPartitions() * 2 <= target:  # spread's half threshold
         needed = needed.repartition(target)
     sh = shingle_frame(needed, id_col, text_col, k)
     if materialize_frames:

@@ -467,7 +467,7 @@ def cosine_verify(
     v = vectors.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
     ).join(cand_ids, F.col("id") == F.col("cid"), "left_semi")
-    if vectors.rdd.getNumPartitions() < target:
+    if vectors.rdd.getNumPartitions() * 2 <= target:  # spread's threshold
         v = v.repartition(target)
     v = v.withColumn("_nrm", _norm(F.col("vec").cast("array<double>")))
     hint = lambda df: df  # noqa: E731
